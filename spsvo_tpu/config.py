@@ -1,0 +1,224 @@
+"""Typed configuration for the TPU-native stereo visual odometry pipeline.
+
+Covers the complete flag surface of the reference ROS parameter set
+(reference: src/odml_visual_odometry/src/visual_odometry_node.cpp:334-403 and
+the compile-time constants in include/odml_visual_odometry/feature_detection.hpp:137-147,368),
+plus the loader-side params (src/odml_data_processing/src/data_processing_node.cpp:194-195).
+
+One frozen dataclass; hashable so it can be closed over by jitted functions as
+a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class DetectorType(enum.Enum):
+    """Feature detector families (reference feature_detection.hpp:24-42)."""
+
+    SHI_TOMASI = "ShiTomasi"
+    BRISK = "BRISK"
+    FAST = "FAST"
+    ORB = "ORB"
+    AKAZE = "AKAZE"
+    SIFT = "SIFT"
+    SUPERPOINT = "SuperPoint"
+
+
+class DescriptorType(enum.Enum):
+    """Descriptor families (reference feature_detection.hpp:43-54)."""
+
+    BRISK = "BRISK"
+    ORB = "ORB"
+    BRIEF = "BRIEF"
+    AKAZE = "AKAZE"
+    FREAK = "FREAK"
+    SIFT = "SIFT"
+    SUPERPOINT = "SuperPoint"
+
+    @property
+    def is_binary(self) -> bool:
+        """Binary descriptors are matched with Hamming distance
+        (reference feature_detection_base.cpp:13-20)."""
+        return self in (DescriptorType.BRISK, DescriptorType.ORB,
+                        DescriptorType.BRIEF, DescriptorType.AKAZE,
+                        DescriptorType.FREAK)
+
+
+class MatcherType(enum.Enum):
+    """BF = brute force (the TPU path), FLANN falls back to BF on device
+    (reference feature_detection.hpp:55-59)."""
+
+    BF = "BF"
+    FLANN = "FLANN"
+
+
+class SelectorType(enum.Enum):
+    """NN = mutual nearest neighbour (cross-check), KNN = Lowe ratio test
+    (reference feature_detection.hpp:60-64, feature_detection_base.cpp:462-473)."""
+
+    NN = "NN"
+    KNN = "KNN"
+
+
+class Precision(enum.Enum):
+    """Compute precision of the CNN trunk. FP32/BF16 mirror the reference's
+    TensorRT FP32/FP16 engine grid (reference feature_detection.hpp:240-251)."""
+
+    FP32 = "FP32"
+    BF16 = "BF16"
+
+    @property
+    def suffix(self) -> str:
+        return self.value
+
+
+# Image positions in the 4-slot sliding window; kept for API parity with the
+# reference's deque offsets (feature_detection.hpp:66-77).
+class ImagePosition(enum.IntEnum):
+    PREV_LEFT = -4
+    PREV_RIGHT = -3
+    CURR_LEFT = -2
+    CURR_RIGHT = -1
+
+
+class MatchType(enum.IntEnum):
+    """The three match passes per frame (reference feature_detection.hpp:79-90)."""
+
+    CURR_LEFT_CURR_RIGHT = 0
+    CURR_LEFT_PREV_LEFT = 1
+    PREV_LEFT_PREV_RIGHT = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class VOConfig:
+    """Full pipeline configuration.
+
+    Defaults mirror launch/visual_odometry_superpoint.launch plus the
+    compile-time constants the reference flags as "move to config".
+    """
+
+    # --- front end selection -------------------------------------------------
+    is_classic: bool = False
+    detector_type: DetectorType = DetectorType.SUPERPOINT
+    descriptor_type: DescriptorType = DescriptorType.SUPERPOINT
+    matcher_type: MatcherType = MatcherType.BF
+    selector_type: SelectorType = SelectorType.NN
+    cross_check: bool = True
+
+    # --- geometry / solver ---------------------------------------------------
+    stereo_threshold: float = 2.0     # max |Δy| for a stereo match (px)
+    min_disparity: float = 1.0        # min |Δx| for a stereo match (px)
+    refinement_degree: int = 4        # 0..4 factor schedule for LM refinement
+    ransac_iterations: int = 500      # reference solvePnPRansac iterations
+    ransac_reproj_threshold: float = 2.0   # px
+    ransac_confidence: float = 0.999
+    ransac_min_inliers: int = 6       # below this, PnP is declared failed
+    lm_max_iterations: int = 40       # reference Ceres max_num_iterations
+    huber_delta: float = 1.0          # reference HuberLoss(1.0)
+
+    # --- motion gates (reference feature_detection.hpp:145-147,
+    # visual_odometry_node.cpp:117-123) --------------------------------------
+    time_interval: float = 0.1        # seconds per frame (KITTI 10 Hz)
+    max_acceleration: float = 8.0     # m/s^2 anomaly gate
+    ignore_frame_count: int = 10      # frames before the acceleration gate arms
+    max_velocity_per_frame: float = 10.0  # metres per frame publish gate
+
+    # --- input geometry ------------------------------------------------------
+    image_height: int = 120           # 0 = native resolution (classic only)
+    image_width: int = 392
+
+    # --- neural network ------------------------------------------------------
+    model_name_prefix: str = "sp_mbv1"
+    model_batch_size: int = 2         # 1 = run L and R separately, 2 = stacked
+    machine_name: str = "tpu"
+    precision: Precision = Precision.FP32
+    conf_thresh: float = 0.015
+    dist_thresh: int = 4              # NMS suppression radius (px)
+    border_remove: int = 4            # border margin for keypoints (px)
+    max_keypoints: int = 1000         # K: fixed keypoint capacity per image
+    nms_iterations: int = 2           # iterated max-pool NMS rounds
+    knn_threshold: float = 0.8        # Lowe ratio
+
+    # --- matching capacity ---------------------------------------------------
+    # Fixed shapes for the jitted matcher; reference uses dynamic vectors.
+    verbose: bool = False
+
+    # --- loader / eval harness ----------------------------------------------
+    rosbag_rate: float = 1.0          # playback rate equivalent (realtime sim)
+    pre_waiting_time: int = 2         # seconds (kept for config parity)
+
+    # --- TPU-specific --------------------------------------------------------
+    num_parallel_frames: int = 1      # frames per sharded step (multi-chip DP)
+    latency_warn_ms: float = 125.0    # reference per-step budget warning
+
+    def __post_init__(self) -> None:
+        if not self.is_classic:
+            if self.image_height % 8 or self.image_width % 8:
+                raise ValueError(
+                    "SuperPoint input height/width must be multiples of 8 "
+                    f"(got {self.image_height}x{self.image_width})")
+        if self.model_batch_size not in (1, 2):
+            raise ValueError("model_batch_size must be 1 or 2")
+        if not 0 <= self.refinement_degree <= 4:
+            raise ValueError("refinement_degree must be in [0, 4]")
+
+    @property
+    def cell(self) -> int:
+        """SuperPoint cell size (heatmap upsampling factor)."""
+        return 8
+
+    @property
+    def heatmap_height(self) -> int:
+        return self.image_height
+
+    @property
+    def heatmap_width(self) -> int:
+        return self.image_width
+
+    @property
+    def grid_height(self) -> int:
+        return self.image_height // 8
+
+    @property
+    def grid_width(self) -> int:
+        return self.image_width // 8
+
+    @property
+    def config_string(self) -> str:
+        """Engine-style identity string, mirroring the reference file naming
+        contract {prefix}_{batch}_{H}_{W}_{precision}
+        (reference feature_detection_neural_network.cpp:44-49)."""
+        if self.is_classic:
+            return (f"classic_{self.detector_type.value}_"
+                    f"{self.descriptor_type.value}_{self.image_height}_"
+                    f"{self.image_width}")
+        return (f"{self.model_name_prefix}_{self.model_batch_size}_"
+                f"{self.image_height}_{self.image_width}_"
+                f"{self.precision.suffix}")
+
+
+# The reference's full engine sweep grid (scripts/engine_generation.py:13-31):
+# 6 backbones x 2 batch sizes x 3 resolutions x 2 precisions = 72 NN configs.
+MODEL_PREFIXES = ("superpoint_pretrained", "sp_sparse", "sp_mbv1", "sp_mbv2",
+                  "sp_squeeze", "sp_resnet18")
+SWEEP_RESOLUTIONS = ((360, 1176), (240, 784), (120, 392))
+SWEEP_BATCH_SIZES = (1, 2)
+SWEEP_PRECISIONS = (Precision.FP32, Precision.BF16)
+
+
+def sweep_configs(base: Optional[VOConfig] = None) -> list[VOConfig]:
+    """Enumerate the 72-config NN sweep (reference engine_generation.py grid)."""
+    base = base or VOConfig()
+    out = []
+    for prefix in MODEL_PREFIXES:
+        for batch in SWEEP_BATCH_SIZES:
+            for (h, w) in SWEEP_RESOLUTIONS:
+                for prec in SWEEP_PRECISIONS:
+                    out.append(dataclasses.replace(
+                        base, model_name_prefix=prefix, model_batch_size=batch,
+                        image_height=h, image_width=w, precision=prec))
+    return out

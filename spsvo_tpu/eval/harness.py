@@ -1,0 +1,160 @@
+"""Evaluation harness: sequence runner, latency CSVs, config-grid sweeps.
+
+Replaces the reference's action-driven eval loop (SURVEY.md §3.4: actionlib
+goal -> rosbag play -> pose file) and its `long_term_eval` sweep branch with
+plain functions:
+
+  * `run_sequence`    — drive the VO pipeline over a KITTI sequence, write
+    the KITTI-format pose file and the reference's 4-column per-frame latency
+    CSV `{detect,match,solve,total}` (visual_odometry_node.cpp:246-258,
+    naming contract :274-303);
+  * `run_eval_id`     — the kitti_eval_id 0..13 entry point with the
+    reference's id->drive/start/end tables;
+  * `run_sweep`       — the 72-config grid (engine_generation.py's role: the
+    "engine build" is XLA jit compilation, cached per config).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from spsvo_tpu.config import VOConfig, sweep_configs
+from spsvo_tpu.eval import metrics as metrics_mod
+from spsvo_tpu.io import kitti
+
+
+@dataclasses.dataclass
+class SequenceResult:
+    poses: List[np.ndarray]
+    latencies_ms: List[Dict[str, float]]
+    diagnostics: List[Dict[str, float]]
+    config_string: str
+
+    @property
+    def mean_total_ms(self) -> float:
+        vals = [l["total"] for l in self.latencies_ms[2:]]  # skip warmup
+        return float(np.mean(vals)) if vals else float("nan")
+
+    @property
+    def fps(self) -> float:
+        m = self.mean_total_ms
+        return 1000.0 / m if m and np.isfinite(m) else float("nan")
+
+
+def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
+                 P_l: np.ndarray, P_r: np.ndarray,
+                 results_dir: Optional[str] = None,
+                 description: str = "default",
+                 kitti_eval_id: Optional[int] = None,
+                 latency_dir: Optional[str] = None,
+                 machine_name: str = "tpu",
+                 sequence_tag: str = "seq",
+                 verbose: bool = False) -> SequenceResult:
+    """Run the online pipeline over a frame stream; optionally persist the
+    reference's artefacts (pose file + latency CSV)."""
+    vo.reset()
+    latencies: List[Dict[str, float]] = []
+    diags: List[Dict[str, float]] = []
+    for i, (il, ir) in enumerate(frames):
+        t0 = time.perf_counter()
+        T, info = vo.process(il, ir, P_l, P_r, want_diagnostics=verbose)
+        total = (time.perf_counter() - t0) * 1000.0
+        # single fused program: stage split is not observable per frame —
+        # report the reference's 4-column contract with the fused time in
+        # `total` (stage-level timing lives in utils.profiling traces).
+        latencies.append({"detect": 0.0, "match": 0.0, "solve": 0.0,
+                          "total": total})
+        if verbose:
+            diags.append({k: v for k, v in info.items() if k != "output"})
+        if total > vo.cfg.latency_warn_ms:
+            print(f"warning: frame {i} took {total:.1f} ms "
+                  f"(> {vo.cfg.latency_warn_ms} ms budget)")
+
+    poses = list(vo.trajectory)
+    if results_dir is not None:
+        d = os.path.join(results_dir, description or "default")
+        os.makedirs(d, exist_ok=True)
+        name = (kitti.result_filename(kitti_eval_id)
+                if kitti_eval_id is not None else "pred.txt")
+        kitti.write_kitti_poses(os.path.join(d, name), poses)
+    if latency_dir is not None:
+        d = os.path.join(latency_dir, machine_name)
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{vo.cfg.config_string}_{sequence_tag}.csv")
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["detect", "match", "solve", "total"])
+            for row in latencies:
+                w.writerow([f"{row[k]:.4f}"
+                            for k in ("detect", "match", "solve", "total")])
+    return SequenceResult(poses, latencies, diags, vo.cfg.config_string)
+
+
+def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
+                results_dir: str = "kitti_results",
+                latency_dir: str = "kitti_latency_csvs",
+                description: str = "default",
+                max_frames: Optional[int] = None) -> SequenceResult:
+    """The reference's action-goal entry point (kitti_eval_id 0..13).
+
+    Requires the KITTI odometry layout under `kitti_root` with sequences
+    named 00..10 for ids 0..10."""
+    if not 0 <= kitti_eval_id < len(kitti.KITTI_EVAL_DRIVES):
+        raise ValueError(f"kitti_eval_id {kitti_eval_id} out of range")
+    start = kitti.KITTI_EVAL_START_FRAME[kitti_eval_id]
+    end = kitti.KITTI_EVAL_END_FRAME[kitti_eval_id]
+    if max_frames is not None:
+        end = min(end, start + max_frames)
+    seq = kitti.KittiOdometrySequence(
+        kitti_root, f"{kitti_eval_id:02d}", start=start,
+        end=None if end >= 2**31 - 1 else end + 1)
+    return run_sequence(
+        vo, iter(seq), seq.P_l, seq.P_r, results_dir=results_dir,
+        description=description, kitti_eval_id=kitti_eval_id,
+        latency_dir=latency_dir, sequence_tag=f"seq_{kitti_eval_id}")
+
+
+def score_against_ground_truth(poses: List[np.ndarray], gt_file: str
+                               ) -> Dict[str, float]:
+    gt = kitti.read_kitti_poses(gt_file)
+    n = min(len(gt), len(poses))
+    out = metrics_mod.kitti_errors(gt[:n], poses[:n])
+    out["ate_m"] = metrics_mod.ate(gt[:n], poses[:n])
+    out.update(metrics_mod.rpe(gt[:n], poses[:n]))
+    return out
+
+
+def run_sweep(frames_fn, P_l: np.ndarray, P_r: np.ndarray,
+              configs: Optional[List[VOConfig]] = None,
+              out_json: str = "sweep_results.json",
+              max_frames: int = 50) -> List[Dict]:
+    """Latency sweep over the config grid (the reference's 72-engine grid).
+
+    `frames_fn() -> iterable of (img_l, img_r)`; each config gets a fresh
+    pipeline (jit cache keyed by shapes/dtypes, so same-resolution configs
+    share compilations)."""
+    from spsvo_tpu.pipeline import VisualOdometry
+
+    results = []
+    for cfg in (configs or sweep_configs()):
+        try:
+            vo = VisualOdometry(cfg)
+            frames = list(frames_fn())[:max_frames]
+            res = run_sequence(vo, frames, P_l, P_r)
+            results.append({
+                "config": cfg.config_string,
+                "mean_total_ms": res.mean_total_ms,
+                "fps": res.fps,
+            })
+        except Exception as e:  # record and continue the grid
+            results.append({"config": cfg.config_string, "error": str(e)})
+        with open(out_json, "w") as f:
+            json.dump(results, f, indent=1)
+    return results

@@ -1,0 +1,183 @@
+"""Classic (OpenCV) feature front end behind the same pipeline interface.
+
+Covers the reference's ClassicFeatureFrontEnd
+(src/odml_visual_odometry/src/feature_detection_classic.cpp): detection and
+description run on host CPU with the same OpenCV factories and parameters
+(ORB with 2000 features / FAST_SCORE etc., :12-25); everything downstream —
+matching (Hamming on the MXU via the {0,1}-bit matmul), chain filtering,
+triangulation, RANSAC, LM — is the same fused TPU program as the SuperPoint
+path (`pipeline.features_step`), so classic configs get the TPU-accelerated
+geometry for free.
+
+Binary descriptors (bytes) are unpacked to {0,1} float bit-vectors once per
+frame on host; Hamming distance then equals the reference's NORM_HAMMING
+(validated in tests vs cv2.BFMatcher).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+from spsvo_tpu.ops import image as image_ops
+from spsvo_tpu.pipeline import Keypoints, VOState, features_step, init_state
+
+
+def make_detector(detector_type: DetectorType):
+    """OpenCV detector factory with the reference's exact parameters
+    (feature_detection_classic.cpp:7-52)."""
+    import cv2
+    if detector_type == DetectorType.BRISK:
+        return cv2.BRISK_create()
+    if detector_type == DetectorType.ORB:
+        return cv2.ORB_create(
+            nfeatures=2000, scaleFactor=1.2, nlevels=8, edgeThreshold=31,
+            firstLevel=0, WTA_K=2, scoreType=cv2.ORB_FAST_SCORE,
+            patchSize=31, fastThreshold=20)
+    if detector_type == DetectorType.AKAZE:
+        return cv2.AKAZE_create()
+    if detector_type == DetectorType.SIFT:
+        return cv2.SIFT_create()
+    if detector_type == DetectorType.FAST:
+        return cv2.FastFeatureDetector_create(10, True)
+    if detector_type == DetectorType.SHI_TOMASI:
+        return cv2.GFTTDetector_create(1000, 0.03, 7.5, 5, False, 0.04)
+    raise ValueError(f"detector {detector_type} not implemented")
+
+
+def make_extractor(descriptor_type: DescriptorType):
+    """OpenCV descriptor factory (feature_detection_classic.cpp:54-79)."""
+    import cv2
+    if descriptor_type == DescriptorType.BRISK:
+        return cv2.BRISK_create(30, 3, 1.0)
+    if descriptor_type == DescriptorType.ORB:
+        return cv2.ORB_create()
+    if descriptor_type == DescriptorType.AKAZE:
+        return cv2.AKAZE_create()
+    if descriptor_type == DescriptorType.SIFT:
+        return cv2.SIFT_create()
+    raise ValueError(f"descriptor {descriptor_type} not implemented")
+
+
+def _pack_features(kps, descs, k: int, binary: bool, desc_dim: int
+                   ) -> Keypoints:
+    """Pad host features into the fixed-capacity Keypoints layout."""
+    n = min(len(kps), k)
+    xy = np.zeros((k, 2), np.float32)
+    score = np.zeros((k,), np.float32)
+    valid = np.zeros((k,), bool)
+    d = np.zeros((k, desc_dim), np.float32)
+    if n:
+        xy[:n] = np.array([kp.pt for kp in kps[:n]], np.float32)
+        score[:n] = np.array([kp.response for kp in kps[:n]], np.float32)
+        valid[:n] = True
+        dd = descs[:n]
+        if binary:
+            bits = np.unpackbits(dd.astype(np.uint8), axis=1)
+            d[:n, :bits.shape[1]] = bits.astype(np.float32)
+        else:
+            d[:n, :dd.shape[1]] = dd.astype(np.float32)
+    return Keypoints(xy=jnp.asarray(xy), score=jnp.asarray(score),
+                     valid=jnp.asarray(valid), desc=jnp.asarray(d))
+
+
+class ClassicVisualOdometry:
+    """Host-detect, device-solve classic VO with the same `process` API as
+    `pipeline.VisualOdometry`."""
+
+    def __init__(self, cfg: VOConfig, seed: int = 0):
+        if not cfg.is_classic:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, is_classic=True)
+        self.cfg = cfg
+        self.detector = make_detector(cfg.detector_type)
+        self.extractor = make_extractor(cfg.descriptor_type)
+        self.binary = cfg.descriptor_type.is_binary
+        # descriptor width: bits for binary (bytes*8), floats otherwise
+        probe = {"ORB": 256, "BRISK": 512, "BRIEF": 256, "AKAZE": 488,
+                 "FREAK": 512, "SIFT": 128, "SuperPoint": 256}
+        self.desc_dim = probe[cfg.descriptor_type.value]
+        self._key = jax.random.PRNGKey(seed)
+        self._step = jax.jit(functools.partial(
+            features_step, cfg=cfg, binary_desc=self.binary))
+        self.reset()
+
+    def reset(self) -> None:
+        self.state = init_state_with_dim(self.cfg, self.desc_dim)
+        self.world_T_cam = np.eye(4, dtype=np.float64)
+        self.last_valid_T = np.eye(4, dtype=np.float64)
+        self.trajectory: list[np.ndarray] = []
+
+    def _detect(self, img: np.ndarray) -> Keypoints:
+        kps = self.detector.detect(img, None)
+        kps, descs = self.extractor.compute(img, kps)
+        if descs is None:
+            descs = np.zeros((0, 1), np.uint8)
+        return _pack_features(kps, descs, self.cfg.max_keypoints,
+                              self.binary, self.desc_dim)
+
+    def process(self, img_l: np.ndarray, img_r: np.ndarray,
+                P_l: np.ndarray, P_r: np.ndarray,
+                want_diagnostics: bool = False
+                ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        t0 = time.perf_counter()
+        cfg = self.cfg
+        # image_height == 0 => native resolution passthrough
+        # (feature_detection_classic.cpp:96-100)
+        if cfg.image_height > 0 and cfg.image_width > 0:
+            h0, w0 = img_l.shape[:2]
+            img_l = image_ops.preprocess_image_np(
+                img_l, cfg.image_height, cfg.image_width, normalize=False
+            ).astype(np.uint8)
+            img_r = image_ops.preprocess_image_np(
+                img_r, cfg.image_height, cfg.image_width, normalize=False
+            ).astype(np.uint8)
+            P_l = image_ops.update_projection_matrix_np(
+                P_l, h0, w0, cfg.image_height, cfg.image_width)
+            P_r = image_ops.update_projection_matrix_np(
+                P_r, h0, w0, cfg.image_height, cfg.image_width)
+        kp_l = self._detect(img_l)
+        kp_r = self._detect(img_r)
+        key = jax.random.fold_in(self._key, int(self.state.frame_count))
+        self.state, out = self._step(
+            self.state, kp_l, kp_r, jnp.asarray(P_l, jnp.float32),
+            jnp.asarray(P_r, jnp.float32), key)
+        T = np.asarray(out.T_curr_prev, dtype=np.float64)
+        t1 = time.perf_counter()
+
+        if np.linalg.norm(T[:3, 3]) > cfg.max_velocity_per_frame:
+            T = self.last_valid_T.copy()
+        else:
+            self.last_valid_T = T.copy()
+        self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
+        self.trajectory.append(self.world_T_cam.copy())
+
+        info: Dict[str, Any] = {"latency_s": t1 - t0}
+        if want_diagnostics:
+            info.update({k: np.asarray(v).item()
+                         for k, v in out.diagnostics.items()})
+            info["output"] = out
+        return T, info
+
+    def current_pose(self) -> np.ndarray:
+        return self.world_T_cam.copy()
+
+
+def init_state_with_dim(cfg: VOConfig, desc_dim: int) -> VOState:
+    from spsvo_tpu.pipeline import _empty_keypoints
+    k = cfg.max_keypoints
+    return VOState(
+        prev_left=_empty_keypoints(k, desc_dim),
+        prev_right=_empty_keypoints(k, desc_dim),
+        prev_stereo_map=jnp.full((k,), -1, jnp.int32),
+        q_pred=jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        t_pred=jnp.zeros((3,), jnp.float32),
+        frame_count=jnp.int32(0),
+        initialized=jnp.asarray(False))

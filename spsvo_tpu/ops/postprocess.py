@@ -1,0 +1,202 @@
+"""SuperPoint detector/descriptor postprocess — fully on-device, fixed shapes.
+
+TPU-native replacement for the reference's host-side Eigen postprocess
+(src/odml_visual_odometry/src/feature_detection_neural_network.cpp:188-431):
+
+  reference (host, threaded Eigen)          here (device, one fused XLA graph)
+  -----------------------------------       ---------------------------------
+  exp + channel-softmax (+1e-5)  :271-284   `cell_softmax`
+  drop dustbin channel           :289-295   slice [..., :64]
+  NCHW->NHWC + depth-to-space    :298-326   `depth_to_space` (NHWC native)
+  sparse threshold + sort + greedy NMS
+  + border removal + cap 1000    :188-262   `iterated max-pool NMS` + masked
+                                            top-K (greedy NMS is inherently
+                                            sequential; the iterated max-pool
+                                            form is the TPU-shaped equivalent,
+                                            validated for parity in tests)
+  bilinear desc sampling (align_corners
+  =True) + L2 norm               :366-431   `sample_descriptors` (batched
+                                            gather instead of per-point loop)
+
+Outputs use a fixed keypoint capacity K with a validity mask instead of the
+reference's dynamic-length vectors, so every downstream stage stays
+static-shaped under jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set for one image batch.
+
+    xy:    (B, K, 2) float32 — (x=col, y=row) in full-resolution pixels.
+    score: (B, K)    float32 — heatmap confidence (0 for invalid slots).
+    valid: (B, K)    bool.
+    desc:  (B, K, D) float32 — L2-normalised descriptors (garbage in invalid
+           slots; every consumer masks by `valid`).
+    """
+
+    xy: jax.Array
+    score: jax.Array
+    valid: jax.Array
+    desc: jax.Array
+
+
+def cell_softmax(det: jax.Array) -> jax.Array:
+    """Channel softmax with the reference's +1e-5 denominator
+    (feature_detection_neural_network.cpp:270-284), computed stably:
+    exp(x)/(sum(exp(x)) + 1e-5) == exp(x-m)/(sum(exp(x-m)) + 1e-5*exp(-m)).
+
+    det: (B, Hc, Wc, 65) logits -> same-shaped probabilities.
+    """
+    m = jnp.max(det, axis=-1, keepdims=True)
+    e = jnp.exp(det - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True) + 1e-5 * jnp.exp(-m)
+    return e / denom
+
+
+def depth_to_space(nodust: jax.Array, cell: int = 8) -> jax.Array:
+    """(B, Hc, Wc, cell*cell) -> (B, Hc*cell, Wc*cell) heatmap.
+
+    Channel c maps to (row=c//cell, col=c%cell) inside each cell, matching the
+    reference's reshape/shuffle chain (:298-326).
+    """
+    b, hc, wc, c2 = nodust.shape
+    x = nodust.reshape(b, hc, wc, cell, cell)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(b, hc * cell, wc * cell)
+
+
+def heatmap_from_logits(det: jax.Array, cell: int = 8) -> jax.Array:
+    """Full detector-head postprocess: logits (B,Hc,Wc,65) -> heatmap (B,H,W)."""
+    probs = cell_softmax(det)
+    return depth_to_space(probs[..., :cell * cell], cell)
+
+
+def _maxpool_same(x: jax.Array, radius: int) -> jax.Array:
+    """(B, H, W) max-pool, window (2r+1)^2, stride 1, SAME padding."""
+    k = 2 * radius + 1
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, k, k),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (radius, radius), (radius, radius)))
+
+
+def nms(scores: jax.Array, radius: int, iterations: int = 2) -> jax.Array:
+    """Iterated max-pool non-maximum suppression.
+
+    TPU-shaped equivalent of the reference's confidence-sorted greedy NMS
+    (feature_detection_neural_network.cpp:219-258): a point survives if it is
+    the maximum of its (2r+1)^2 window among not-yet-suppressed points;
+    additional rounds recover secondary peaks whose stronger neighbour was
+    itself suppressed — the same chains greedy NMS keeps. Exact greedy order
+    is data-dependent and inherently sequential; parity is validated
+    statistically in tests (keypoint-set overlap + downstream pose accuracy).
+
+    scores: (B, H, W) non-negative (0 = already excluded). Returns scores with
+    suppressed positions zeroed.
+    """
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == _maxpool_same(scores, radius)
+    for _ in range(iterations):
+        supp_mask = _maxpool_same(max_mask.astype(scores.dtype), radius) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max_mask = supp_scores == _maxpool_same(supp_scores, radius)
+        max_mask = max_mask | (new_max_mask & ~supp_mask)
+    return jnp.where(max_mask & (scores > 0), scores, zeros)
+
+
+def select_topk(scores: jax.Array, k: int, conf_thresh: float,
+                border: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Masked top-K keypoint selection.
+
+    Applies the confidence threshold (strict >, reference :203) and border
+    removal (keep row in [border, H-border), col likewise, reference
+    :239-242), then takes the K best by score.
+
+    Returns (xy (B,K,2) float32, score (B,K), valid (B,K)).
+    """
+    b, h, w = scores.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    keep = ((row >= border) & (row < h - border) &
+            (col >= border) & (col < w - border))
+    masked = jnp.where(keep[None], scores, 0.0)
+    masked = jnp.where(masked > conf_thresh, masked, 0.0)
+
+    flat = masked.reshape(b, h * w)
+    top_scores, top_idx = jax.lax.top_k(flat, k)
+    ys = (top_idx // w).astype(jnp.float32)
+    xs = (top_idx % w).astype(jnp.float32)
+    xy = jnp.stack([xs, ys], axis=-1)
+    valid = top_scores > 0.0
+    return xy, top_scores, valid
+
+
+def sample_descriptors(desc_grid: jax.Array, xy: jax.Array,
+                       image_hw: Tuple[int, int]) -> jax.Array:
+    """Bilinear descriptor sampling with align_corners=True semantics.
+
+    Mirrors the reference bilinearInterpolationDesc
+    (feature_detection_neural_network.cpp:366-431): heatmap coords (row, col)
+    map to the coarse grid as row/(H-1)*(Hc-1) (PyTorch-0.4 grid_sample
+    align_corners=True contract, documented at :372-377), 4-neighbour
+    interpolation, then per-keypoint L2 normalisation.
+
+    desc_grid: (B, Hc, Wc, D); xy: (B, K, 2) full-res pixels.
+    Returns (B, K, D) L2-normalised.
+    """
+    b, hc, wc, d = desc_grid.shape
+    h, w = image_hw
+    x = xy[..., 0]
+    y = xy[..., 1]
+    yc = y / (h - 1) * (hc - 1)
+    xc = x / (w - 1) * (wc - 1)
+
+    y0 = jnp.floor(yc)
+    x0 = jnp.floor(xc)
+    fy = yc - y0
+    fx = xc - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, hc - 1)
+    x1 = jnp.minimum(x0 + 1, wc - 1)
+
+    flat = desc_grid.reshape(b, hc * wc, d)
+
+    def gather(rows, cols):
+        idx = rows * wc + cols  # (B, K)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
+
+    wtl = ((1 - fy) * (1 - fx))[..., None]
+    wtr = ((1 - fy) * fx)[..., None]
+    wbl = (fy * (1 - fx))[..., None]
+    wbr = (fy * fx)[..., None]
+    out = (gather(y0, x0) * wtl + gather(y0, x1) * wtr +
+           gather(y1, x0) * wbl + gather(y1, x1) * wbr)
+    norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
+    return out / jnp.maximum(norm, 1e-12)
+
+
+def extract_keypoints(det: jax.Array, desc: jax.Array, *, k: int,
+                      conf_thresh: float, nms_radius: int, border: int,
+                      nms_iterations: int = 2) -> Keypoints:
+    """Full postprocess: raw heads -> fixed-capacity keypoints+descriptors.
+
+    det:  (B, Hc, Wc, 65) logits; desc: (B, Hc, Wc, 256) L2-normalised grid.
+    """
+    heat = heatmap_from_logits(det)
+    h, w = heat.shape[1], heat.shape[2]
+    # exclude sub-threshold points from suppression participation parity:
+    # the reference only considers > conf_thresh points at all (:203).
+    heat = jnp.where(heat > conf_thresh, heat, 0.0)
+    suppressed = nms(heat, nms_radius, nms_iterations)
+    xy, score, valid = select_topk(suppressed, k, conf_thresh, border)
+    descs = sample_descriptors(desc, xy, (h, w))
+    return Keypoints(xy=xy, score=score, valid=valid, desc=descs)

@@ -1,0 +1,154 @@
+"""Multi-chip scaling: frame-parallel VO over a device mesh.
+
+The reference has no distributed backend (SURVEY.md §2 parallelism table —
+its only concurrency is batch=2 stereo batching, a host thread pool and two
+ROS processes). The TPU-native scale-out story replaces all of that:
+
+  * online mode (`pipeline.VisualOdometry`) is strictly sequential in frame
+    order — it keeps the reference's exact gate semantics;
+  * offline/throughput mode (`batch_vo`, here) processes a whole sequence at
+    once: per-frame work (CNN + postprocess) and per-frame-PAIR work
+    (matching + triangulation + RANSAC + LM) are independent, so both phases
+    shard over a `Mesh(("data",))` with `jax.sharding`; the only sequential
+    step — pose chaining — is a log-depth `associative_scan` of 4x4 matrix
+    products, also on device.
+
+Semantic deltas vs online mode (documented, validated in tests): the offline
+solve uses an identity motion prior and disables the acceleration/velocity
+gates (they are sequential by nature); on clean KITTI-style data the gates
+are almost never triggered, and the eval harness reports both modes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spsvo_tpu.config import VOConfig
+from spsvo_tpu.geometry import se3
+from spsvo_tpu.ops import solver
+from spsvo_tpu.ops.postprocess import Keypoints, extract_keypoints
+from spsvo_tpu.pipeline import _match
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis_name,))
+
+
+def frontend_batch(apply_fn, params, images: jax.Array, cfg: VOConfig
+                   ) -> Keypoints:
+    """CNN + postprocess over (N, H, W) frames -> Keypoints with leading N."""
+    x = images[..., None]
+    out = apply_fn(params, x)
+    return extract_keypoints(
+        out["output_det"], out["output_desc"], k=cfg.max_keypoints,
+        conf_thresh=cfg.conf_thresh, nms_radius=cfg.dist_thresh,
+        border=cfg.border_remove, nms_iterations=cfg.nms_iterations)
+
+
+def _pair_solve(key, kp_l_prev: Keypoints, kp_r_prev: Keypoints,
+                kp_l_curr: Keypoints, kp_r_curr: Keypoints,
+                P_l, P_r, cfg: VOConfig):
+    """Solve one (prev, curr) frame pair -> (T_curr_prev, diagnostics)."""
+    m_stereo_curr = _match(kp_l_curr, kp_r_curr, cfg)
+    m_stereo_prev = _match(kp_l_prev, kp_r_prev, cfg)
+    m_inter = _match(kp_l_curr, kp_l_prev, cfg)
+
+    chain = solver.build_chain(
+        kp_l_curr.xy, kp_r_curr.xy, kp_l_curr.valid, kp_r_curr.valid,
+        kp_l_prev.xy, kp_r_prev.xy, kp_l_prev.valid, kp_r_prev.valid,
+        m_stereo_curr.idx, m_inter.idx, m_stereo_prev.idx,
+        cfg.stereo_threshold, cfg.min_disparity)
+
+    q0 = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+    res = solver.solve_stereo_odometry(
+        key, chain, P_l, P_r, q0, t0,
+        frame_count=jnp.int32(0),  # gates disarmed in offline mode
+        cfg=cfg)
+    diag = {"num_chain": res.num_chain, "num_inliers": res.num_inliers,
+            "pnp_success": res.pnp_success}
+    return res.T_curr_prev, diag
+
+
+def build_batch_vo(apply_fn, cfg: VOConfig, mesh: Mesh,
+                   axis_name: str = "data"):
+    """Compile the offline frame-parallel VO program for a mesh.
+
+    Returns jitted `fn(params, images (N, 2, H, W), P_l, P_r, key) ->
+    (world_T_cam (N, 4, 4), diagnostics)`. N must be a multiple of the mesh
+    size. Images are preprocessed (cropped/resized/normalised) frames.
+    """
+    frame_sharding = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+
+    def fn(params, images, P_l, P_r, key):
+        n = images.shape[0]
+        # phase 1: frontend on all 2N images, sharded over frames
+        imgs_flat = images.reshape(n * 2, *images.shape[2:])
+        kps = frontend_batch(apply_fn, params, imgs_flat, cfg)
+        kp = jax.tree.map(lambda a: a.reshape(n, 2, *a.shape[1:]), kps)
+        kp_l = jax.tree.map(lambda a: a[:, 0], kp)
+        kp_r = jax.tree.map(lambda a: a[:, 1], kp)
+
+        # phase 2: pairwise solves (prev=i, curr=i+1), sharded over pairs
+        prev_l = jax.tree.map(lambda a: a[:-1], kp_l)
+        prev_r = jax.tree.map(lambda a: a[:-1], kp_r)
+        curr_l = jax.tree.map(lambda a: a[1:], kp_l)
+        curr_r = jax.tree.map(lambda a: a[1:], kp_r)
+        keys = jax.random.split(key, n - 1)
+        T_pair, diag = jax.vmap(
+            functools.partial(_pair_solve, P_l=P_l, P_r=P_r, cfg=cfg)
+        )(keys, prev_l, prev_r, curr_l, curr_r)
+
+        # phase 3: pose chaining world_T_i = Π_j<i inv(T_pair_j) — log-depth
+        deltas = se3.invert_transform(T_pair)           # prev_T_curr^-1 ...
+        # world_T_curr_i = delta_0 @ delta_1 @ ... @ delta_{i-1}
+        chained = jax.lax.associative_scan(
+            lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), deltas)
+        eye = jnp.eye(4, dtype=jnp.float32)[None]
+        world = jnp.concatenate([eye, chained], axis=0)  # (N, 4, 4)
+        return world, diag
+
+    in_shardings = (replicated, frame_sharding, replicated, replicated,
+                    replicated)
+    return jax.jit(fn, in_shardings=in_shardings,
+                   out_shardings=(replicated, replicated))
+
+
+# --------------------------------------------------------------------------
+# sequence-level scan (single device, whole-sequence on-device loop)
+# --------------------------------------------------------------------------
+
+def build_sequence_scan(apply_fn, cfg: VOConfig):
+    """Whole-sequence ONLINE VO as one lax.scan program: exact sequential
+    gate semantics, zero per-frame host round-trips. Input: preprocessed
+    frames (N, 2, H, W) resident in HBM."""
+    from spsvo_tpu.pipeline import init_state, vo_step
+
+    def fn(params, images, P_l, P_r, key):
+        n = images.shape[0]
+        keys = jax.random.split(key, n)
+
+        def body(state, xs):
+            imgs, k = xs
+            state, out = vo_step(params, state, imgs, P_l, P_r, k,
+                                 apply_fn=apply_fn, cfg=cfg)
+            return state, (out.T_curr_prev, out.diagnostics)
+
+        state0 = init_state(cfg)
+        _, (T_seq, diags) = jax.lax.scan(body, state0, (images, keys))
+        deltas = se3.invert_transform(T_seq)
+        world = jax.lax.associative_scan(
+            lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), deltas)
+        return world, diags
+
+    return jax.jit(fn)

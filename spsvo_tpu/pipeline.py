@@ -1,0 +1,270 @@
+"""The visual odometry pipeline: one fused jitted program per stereo frame.
+
+Public API replacing the reference's ROS node surface
+(src/odml_visual_odometry/src/visual_odometry_node.cpp): where the reference
+splits a frame across TensorRT (CNN) and host CPU (postprocess, matching,
+geometry — SURVEY.md §3.2), here the *entire* step
+
+    preprocess -> CNN forward -> detector postprocess -> descriptor sampling
+    -> stereo + inter-frame matching -> chain filter -> triangulation
+    -> RANSAC -> gates -> LM refinement -> pose
+
+is a single XLA program on the TPU; the host only feeds image bytes and
+receives a 4x4 pose plus scalar diagnostics.
+
+State (the reference's 4-image deque window, motion prior and frame counter —
+feature_detection.hpp:123-177) is an explicit pytree threaded through the
+jitted step, scan-style: no Python-side mutation on the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spsvo_tpu.config import Precision, SelectorType, VOConfig
+from spsvo_tpu.geometry import se3
+from spsvo_tpu.models import zoo
+from spsvo_tpu.ops import image as image_ops
+from spsvo_tpu.ops import matching, solver
+from spsvo_tpu.ops.postprocess import Keypoints, extract_keypoints
+
+
+class VOState(NamedTuple):
+    """Carried pipeline state (pytree)."""
+
+    prev_left: Keypoints
+    prev_right: Keypoints
+    prev_stereo_map: jax.Array     # (K,) prev_left -> prev_right, -1 invalid
+    q_pred: jax.Array              # (4,) xyzw constant-velocity prior
+    t_pred: jax.Array              # (3,)
+    frame_count: jax.Array         # scalar int32
+    initialized: jax.Array         # scalar bool (first frame seen)
+
+
+class VOStepOutput(NamedTuple):
+    T_curr_prev: jax.Array         # (4, 4) cam0_curr_T_cam0_prev
+    keypoints_left: Keypoints
+    keypoints_right: Keypoints
+    stereo_map: jax.Array          # (K,)
+    interframe_map: jax.Array      # (K,)
+    chain_valid: jax.Array         # (K,)
+    inliers: jax.Array             # (K,)
+    diagnostics: Dict[str, jax.Array]
+
+
+def _empty_keypoints(k: int, d: int = 256) -> Keypoints:
+    return Keypoints(
+        xy=jnp.zeros((k, 2), jnp.float32),
+        score=jnp.zeros((k,), jnp.float32),
+        valid=jnp.zeros((k,), bool),
+        desc=jnp.zeros((k, d), jnp.float32))
+
+
+def init_state(cfg: VOConfig) -> VOState:
+    k = cfg.max_keypoints
+    return VOState(
+        prev_left=_empty_keypoints(k),
+        prev_right=_empty_keypoints(k),
+        prev_stereo_map=jnp.full((k,), -1, jnp.int32),
+        q_pred=jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        t_pred=jnp.zeros((3,), jnp.float32),
+        frame_count=jnp.int32(0),
+        initialized=jnp.asarray(False))
+
+
+def superpoint_frontend(apply_fn, params, images: jax.Array, cfg: VOConfig
+                        ) -> Tuple[Keypoints, Keypoints]:
+    """CNN forward + postprocess for a (2, H, W) stereo pair.
+
+    `model_batch_size` mirrors the reference's engine batching
+    (feature_detection_neural_network.cpp:468-492): 2 = one batched pass for
+    L+R, 1 = two single-image passes (identical math, kept for the latency
+    sweep's batch dimension).
+    """
+    x = images[..., None]                              # (2, H, W, 1)
+    if cfg.model_batch_size == 2:
+        out = apply_fn(params, x)
+        det, desc = out["output_det"], out["output_desc"]
+    else:
+        out_l = apply_fn(params, x[0:1])
+        out_r = apply_fn(params, x[1:2])
+        det = jnp.concatenate([out_l["output_det"], out_r["output_det"]])
+        desc = jnp.concatenate([out_l["output_desc"], out_r["output_desc"]])
+    kps = extract_keypoints(
+        det, desc, k=cfg.max_keypoints, conf_thresh=cfg.conf_thresh,
+        nms_radius=cfg.dist_thresh, border=cfg.border_remove,
+        nms_iterations=cfg.nms_iterations)
+    left = Keypoints(kps.xy[0], kps.score[0], kps.valid[0], kps.desc[0])
+    right = Keypoints(kps.xy[1], kps.score[1], kps.valid[1], kps.desc[1])
+    return left, right
+
+
+def _match(a: Keypoints, b: Keypoints, cfg: VOConfig,
+           binary: bool = False) -> matching.MatchResult:
+    return matching.match_descriptors(
+        a.desc, a.valid, b.desc, b.valid,
+        use_ratio_test=(cfg.selector_type == SelectorType.KNN),
+        cross_check=cfg.cross_check, ratio=cfg.knn_threshold, binary=binary)
+
+
+def features_step(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
+                  P_l: jax.Array, P_r: jax.Array, key: jax.Array, *,
+                  cfg: VOConfig, binary_desc: bool = False
+                  ) -> Tuple[VOState, VOStepOutput]:
+    """Matching + geometry for one frame given extracted features.
+
+    Shared by the SuperPoint path (features from the on-device frontend) and
+    the classic path (features from host OpenCV detectors); this is
+    everything in stereoCallback after addStereoImagePair
+    (visual_odometry_node.cpp:196-233).
+    """
+    m_stereo = _match(kp_l, kp_r, cfg, binary=binary_desc)
+    m_inter = _match(kp_l, state.prev_left, cfg, binary=binary_desc)
+    # first frame: previous features are garbage — kill inter-frame matches
+    inter_idx = jnp.where(state.initialized, m_inter.idx, -1)
+
+    chain = solver.build_chain(
+        kp_l.xy, kp_r.xy, kp_l.valid, kp_r.valid,
+        state.prev_left.xy, state.prev_right.xy,
+        state.prev_left.valid, state.prev_right.valid,
+        m_stereo.idx, inter_idx, state.prev_stereo_map,
+        cfg.stereo_threshold, cfg.min_disparity)
+
+    res = solver.solve_stereo_odometry(
+        key, chain, P_l, P_r, state.q_pred, state.t_pred,
+        state.frame_count, cfg)
+
+    identity = jnp.eye(4, dtype=jnp.float32)
+    first = ~state.initialized
+    T = jnp.where(first, identity, res.T_curr_prev)
+    q_pred = jnp.where(first, state.q_pred, res.q_pred)
+    t_pred = jnp.where(first, state.t_pred, res.t_pred)
+
+    new_state = VOState(
+        prev_left=kp_l, prev_right=kp_r,
+        prev_stereo_map=m_stereo.idx,
+        q_pred=q_pred, t_pred=t_pred,
+        frame_count=state.frame_count + 1,
+        initialized=jnp.asarray(True))
+
+    diagnostics = {
+        "num_keypoints_left": jnp.sum(kp_l.valid).astype(jnp.int32),
+        "num_keypoints_right": jnp.sum(kp_r.valid).astype(jnp.int32),
+        "num_stereo_matches": m_stereo.count().astype(jnp.int32),
+        "num_interframe_matches": jnp.sum(inter_idx >= 0).astype(jnp.int32),
+        "num_chain": res.num_chain,
+        "num_inliers": res.num_inliers,
+        "pnp_success": res.pnp_success,
+        "accel_anomaly": res.accel_anomaly,
+        "lm_improved": res.lm_improved,
+    }
+    out = VOStepOutput(
+        T_curr_prev=T, keypoints_left=kp_l, keypoints_right=kp_r,
+        stereo_map=m_stereo.idx, interframe_map=inter_idx,
+        chain_valid=res.chain_valid, inliers=res.inliers,
+        diagnostics=diagnostics)
+    return new_state, out
+
+
+def vo_step(params: Any, state: VOState, images: jax.Array, P_l: jax.Array,
+            P_r: jax.Array, key: jax.Array, *, apply_fn, cfg: VOConfig
+            ) -> Tuple[VOState, VOStepOutput]:
+    """One full VO step on preprocessed images (2, H, W) in [0, 1]:
+    on-device frontend + features_step. Mirrors stereoCallback
+    (visual_odometry_node.cpp:150-233); on the first frame only the stereo
+    match is computed and the identity transform is returned (:188-193).
+    """
+    kp_l, kp_r = superpoint_frontend(apply_fn, params, images, cfg)
+    return features_step(state, kp_l, kp_r, P_l, P_r, key, cfg=cfg)
+
+
+class VisualOdometry:
+    """Stateful host-side wrapper: the `FeatureFrontEnd` + node-logic
+    equivalent with a plain-Python API.
+
+        vo = VisualOdometry(VOConfig(model_name_prefix="sp_mbv1"))
+        pose4x4, info = vo.process(img_l_u8, img_r_u8, P_l, P_r)
+
+    `process` accepts full-resolution uint8/float grayscale images plus their
+    3x4 projection matrices; preprocessing (crop/resize/P-update, C3) happens
+    on device. World-pose integration and the per-frame velocity sanity gate
+    (visual_odometry_node.cpp:100-148) run on host in float64.
+    """
+
+    def __init__(self, cfg: VOConfig, params: Any = None, apply_fn=None,
+                 seed: int = 0):
+        self.cfg = cfg
+        if apply_fn is None:
+            compute_dtype = (jnp.bfloat16 if cfg.precision == Precision.BF16
+                             else jnp.float32)
+            apply_fn, loaded = zoo.load_model(cfg.model_name_prefix,
+                                              compute_dtype)
+            params = params if params is not None else loaded
+        self.apply_fn = apply_fn
+        self.params = params
+        self._key = jax.random.PRNGKey(seed)
+
+        def raw_step(params, state, img_l, img_r, P_l, P_r, key):
+            imgs, P_l2, P_r2 = image_ops.preprocess_stereo_pair(
+                img_l, img_r, P_l, P_r,
+                dst_h=cfg.image_height, dst_w=cfg.image_width)
+            return vo_step(params, state, imgs, P_l2, P_r2, key,
+                           apply_fn=self.apply_fn, cfg=cfg)
+
+        # one fused program per raw input resolution: preprocess + CNN +
+        # postprocess + matching + solve, single dispatch per frame
+        self._raw_step = jax.jit(raw_step, donate_argnums=(1,))
+        self.reset()
+
+    # -- lifecycle (clearLagecyData equivalent,
+    #    feature_detection_base.cpp:35-66) ---------------------------------
+    def reset(self) -> None:
+        self.state = init_state(self.cfg)
+        self.world_T_cam = np.eye(4, dtype=np.float64)
+        self.last_valid_T = np.eye(4, dtype=np.float64)
+        self.trajectory: list[np.ndarray] = []
+        self.latencies: list[Dict[str, float]] = []
+        self._frame_idx = 0  # host-side counter: no device sync for the key
+
+    # -- one frame ---------------------------------------------------------
+    def process(self, img_l: np.ndarray, img_r: np.ndarray,
+                P_l: np.ndarray, P_r: np.ndarray,
+                want_diagnostics: bool = False
+                ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        t0 = time.perf_counter()
+        key = jax.random.fold_in(self._key, self._frame_idx)
+        self._frame_idx += 1
+        self.state, out = self._raw_step(
+            self.params, self.state, jnp.asarray(img_l), jnp.asarray(img_r),
+            jnp.asarray(P_l, jnp.float32), jnp.asarray(P_r, jnp.float32), key)
+        T = np.asarray(out.T_curr_prev, dtype=np.float64)
+        t1 = time.perf_counter()
+
+        # velocity sanity gate (visual_odometry_node.cpp:117-123): an
+        # implausible per-frame translation reuses the last valid transform.
+        if np.linalg.norm(T[:3, 3]) > self.cfg.max_velocity_per_frame:
+            T = self.last_valid_T.copy()
+        else:
+            self.last_valid_T = T.copy()
+
+        # world pose integration: world_T_curr = world_T_prev @ prev_T_curr
+        self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
+        self.trajectory.append(self.world_T_cam.copy())
+
+        info: Dict[str, Any] = {"latency_s": t1 - t0}
+        if want_diagnostics:
+            info.update({k: np.asarray(v).item()
+                         for k, v in out.diagnostics.items()})
+            info["output"] = out
+        self.latencies.append({"total": t1 - t0})
+        return T, info
+
+    def current_pose(self) -> np.ndarray:
+        return self.world_T_cam.copy()

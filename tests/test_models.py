@@ -1,0 +1,88 @@
+"""Model zoo: ONNX import golden tests vs cv2.dnn, architecture invariants.
+
+This is the executable replacement for the reference's side-by-side
+visualization comparison against the original implementation (SURVEY.md §4.1):
+the imported JAX graphs are checked numerically against an independent ONNX
+runtime (OpenCV dnn) on the same inputs.
+"""
+import os
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spsvo_tpu.models import zoo
+
+REF = zoo.REFERENCE_MODELS_DIR
+EXPECTED_PARAMS = {"sp_mbv1": 752779, "sp_mbv2": 945035, "sp_squeeze": 844353}
+
+
+@pytest.mark.parametrize("prefix", sorted(zoo.BUNDLED_ONNX))
+def test_onnx_import_matches_cv2_dnn(prefix, rng):
+    if not os.path.isdir(REF):
+        pytest.skip("reference models unavailable")
+    x = rng.random((1, 1, 120, 392), dtype=np.float64).astype(np.float32)
+    net = cv2.dnn.readNetFromONNX(os.path.join(REF, f"{prefix}_b1.onnx"))
+    net.setInput(x)
+    det_ref, desc_ref = net.forward(["output_det", "output_desc"])
+
+    apply_fn, params = zoo.load_model(prefix)
+    assert zoo.param_count(params) == EXPECTED_PARAMS[prefix]
+    out = jax.jit(apply_fn)(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    det = np.asarray(out["output_det"]).transpose(0, 3, 1, 2)
+    desc = np.asarray(out["output_desc"]).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(det, det_ref, atol=2e-4)
+    np.testing.assert_allclose(desc, desc_ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("prefix",
+                         ["superpoint_pretrained", "sp_resnet18", "sp_sparse"])
+def test_hand_defined_architectures(prefix, rng):
+    apply_fn, params = zoo.load_model(prefix, seed=3)
+    x = jnp.asarray(rng.random((1, 120, 392, 1), np.float32))
+    out = jax.jit(apply_fn)(params, x)
+    assert out["output_det"].shape == (1, 15, 49, 65)
+    assert out["output_desc"].shape == (1, 15, 49, 256)
+    # in-graph descriptor L2 normalisation
+    norms = np.linalg.norm(np.asarray(out["output_desc"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_vgg_param_count_matches_original_superpoint():
+    """The original MagicLeap SuperPointNet has 1,300,865 parameters."""
+    _, params = zoo.load_model("superpoint_pretrained")
+    assert zoo.param_count(params) == 1_300_865
+
+
+def test_bf16_trunk_close_to_fp32(rng):
+    x = rng.random((1, 1, 120, 392), dtype=np.float64).astype(np.float32)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    a32, p = zoo.load_model("sp_mbv1", jnp.float32)
+    a16, _ = zoo.load_model("sp_mbv1", jnp.bfloat16)
+    o32 = jax.jit(a32)(p, xj)
+    o16 = jax.jit(a16)(p, xj)
+    # bf16 trunk mirrors the reference's FP16 engines: same predictions to
+    # within low-precision tolerance
+    d32 = np.asarray(o32["output_desc"])
+    d16 = np.asarray(o16["output_desc"])
+    cos = (d32 * d16).sum(-1)
+    assert np.percentile(cos, 1) > 0.99
+
+
+def test_resolutions_sweep_shapes():
+    apply_fn, params = zoo.load_model("sp_mbv1")
+    for (h, w) in [(360, 1176), (240, 784), (120, 392)]:
+        out = apply_fn(params, jnp.zeros((1, h, w, 1), jnp.float32))
+        assert out["output_det"].shape == (1, h // 8, w // 8, 65)
+
+
+def test_save_and_reload_params(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPSVO_WEIGHTS_DIR", str(tmp_path))
+    apply_fn, params = zoo.load_model("sp_resnet18", seed=7)
+    zoo.save_params("sp_resnet18", params)
+    apply2, params2 = zoo.load_model("sp_resnet18", seed=99)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]),
+                                      np.asarray(params2[k]))

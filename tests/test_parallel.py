@@ -1,0 +1,89 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spsvo_tpu.config import VOConfig
+from spsvo_tpu.models import zoo
+from spsvo_tpu.parallel.sharding import (build_batch_vo, build_sequence_scan,
+                                         make_mesh)
+from spsvo_tpu.training import (build_sharded_train_step, init_train_state,
+                                synthetic_batch, train_step)
+
+
+def _tiny_cfg():
+    return VOConfig(model_name_prefix="superpoint_pretrained",
+                    image_height=48, image_width=64, max_keypoints=64,
+                    ransac_iterations=32, lm_max_iterations=4)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.slow
+def test_batch_vo_sharded_runs():
+    cfg = _tiny_cfg()
+    apply_fn, params = zoo.load_model(cfg.model_name_prefix)
+    mesh = make_mesh()
+    fn = build_batch_vo(apply_fn, cfg, mesh)
+    n = 16
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((n, 2, 48, 64), np.float32))
+    P_l = jnp.asarray([[60., 0, 32., 0.], [0, 60., 24., 0.], [0, 0, 1., 0.]],
+                      jnp.float32)
+    P_r = P_l.at[0, 3].set(-30.0)
+    world, diag = fn(params, imgs, P_l, P_r, jax.random.PRNGKey(0))
+    assert world.shape == (n, 4, 4)
+    assert np.all(np.isfinite(np.asarray(world)))
+    np.testing.assert_allclose(np.asarray(world[0]), np.eye(4), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_single_device():
+    cfg = _tiny_cfg()
+    apply_fn, params = zoo.load_model(cfg.model_name_prefix, seed=1)
+    mesh = make_mesh()
+    batch = synthetic_batch(jax.random.PRNGKey(0), batch=8, h=48, w=64)
+
+    state = init_train_state(apply_fn, params)
+    sharded = build_sharded_train_step(apply_fn, mesh)
+    state_s, metrics_s = sharded(state, batch)
+    state_1, metrics_1 = jax.jit(
+        lambda s, b: train_step(s, b, apply_fn=apply_fn))(state, batch)
+    # DP must be semantics-preserving
+    np.testing.assert_allclose(float(metrics_s["loss"]),
+                               float(metrics_1["loss"]), rtol=1e-5)
+    leaves_s = jax.tree.leaves(state_s.params)
+    leaves_1 = jax.tree.leaves(state_1.params)
+    for a, b in zip(leaves_s, leaves_1):
+        # reduction-order nondeterminism of the sharded all-reduce
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_training_reduces_loss():
+    cfg = _tiny_cfg()
+    apply_fn, params = zoo.load_model(cfg.model_name_prefix, seed=2)
+    state = init_train_state(apply_fn, params, lr=1e-3)
+    batch = synthetic_batch(jax.random.PRNGKey(3), batch=2, h=48, w=64)
+    step = jax.jit(lambda s, b: train_step(s, b, apply_fn=apply_fn))
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+@pytest.mark.slow
+def test_graft_entry_contract():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    state, step_out = out
+    assert step_out.T_curr_prev.shape == (4, 4)
+    ge.dryrun_multichip(8)

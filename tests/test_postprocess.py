@@ -1,0 +1,117 @@
+"""Detector postprocess golden tests against the NumPy oracle."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spsvo_tpu.ops import postprocess as pp
+from tests import oracle
+
+
+def _fake_logits(rng, b=1, hc=15, wc=49):
+    return rng.normal(size=(b, hc, wc, 65)).astype(np.float32)
+
+
+def test_cell_softmax_matches_reference_semantics(rng):
+    det = _fake_logits(rng)
+    ours = np.asarray(pp.cell_softmax(jnp.asarray(det)))
+    ref = oracle.cell_softmax_np(det)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_cell_softmax_stable_with_large_logits(rng):
+    det = _fake_logits(rng) + 100.0  # raw exp would overflow fp32
+    ours = np.asarray(pp.cell_softmax(jnp.asarray(det)))
+    assert np.all(np.isfinite(ours))
+    ref = oracle.cell_softmax_np(det)  # float64 oracle survives
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_depth_to_space_layout(rng):
+    det = rng.normal(size=(2, 3, 4, 64)).astype(np.float32)
+    ours = np.asarray(pp.depth_to_space(jnp.asarray(det)))
+    ref = oracle.depth_to_space_np(det)
+    np.testing.assert_allclose(ours, ref)
+    # channel c -> (row c//8, col c%8) inside the cell
+    assert ours[0, 0, 0] == det[0, 0, 0, 0]
+    assert ours[0, 1, 2] == det[0, 0, 0, 10]
+    assert ours[0, 8, 0] == det[0, 1, 0, 0]
+
+
+def _sparse_heatmap(rng, h=120, w=392, n=300, seed_offset=0):
+    """Well-separated-ish random peaks plus noise floor."""
+    hm = np.zeros((h, w), np.float32)
+    ys = rng.integers(0, h, n)
+    xs = rng.integers(0, w, n)
+    hm[ys, xs] = rng.uniform(0.02, 1.0, n).astype(np.float32)
+    return hm
+
+
+def test_nms_topk_parity_with_greedy(rng):
+    """Iterated max-pool NMS vs the reference's greedy NMS: the kept sets
+    must agree to high overlap (they differ only on suppression chains)."""
+    hm = _sparse_heatmap(rng)
+    conf, r, border, K = 0.015, 4, 4, 1000
+    ref_xy, _ = oracle.greedy_nms_np(hm, conf, r, border, K)
+
+    masked = jnp.where(jnp.asarray(hm)[None] > conf, jnp.asarray(hm)[None], 0.)
+    sup = pp.nms(masked, r, iterations=2)
+    xy, score, valid = pp.select_topk(sup, K, conf, border)
+    ours = {tuple(p) for p in np.asarray(xy[0])[np.asarray(valid[0])]}
+    ref = {tuple(p) for p in ref_xy}
+    inter = len(ours & ref)
+    union = max(len(ours | ref), 1)
+    assert inter / union > 0.9, f"NMS overlap too low: {inter}/{union}"
+    # every kept point must be a >conf point of the original heatmap
+    for (x, y) in list(ours)[:50]:
+        assert hm[int(y), int(x)] > conf
+
+
+def test_nms_suppresses_weaker_neighbor():
+    hm = np.zeros((1, 32, 32), np.float32)
+    hm[0, 10, 10] = 0.9
+    hm[0, 11, 12] = 0.5   # within radius 4 of the stronger peak
+    hm[0, 20, 20] = 0.7
+    out = np.asarray(pp.nms(jnp.asarray(hm), 4))
+    assert out[0, 10, 10] == np.float32(0.9)
+    assert out[0, 11, 12] == 0.0
+    assert out[0, 20, 20] == np.float32(0.7)
+
+
+def test_select_topk_border_and_threshold():
+    hm = np.zeros((1, 24, 40), np.float32)
+    hm[0, 1, 10] = 0.9    # inside border=4 margin -> removed
+    hm[0, 10, 1] = 0.9    # same
+    hm[0, 12, 20] = 0.5
+    hm[0, 13, 30] = 0.01  # below conf 0.015 -> removed
+    xy, score, valid = pp.select_topk(jnp.asarray(hm), 8, 0.015, 4)
+    kept = np.asarray(xy[0])[np.asarray(valid[0])]
+    assert kept.shape == (1, 2)
+    np.testing.assert_array_equal(kept[0], [20, 12])
+
+
+def test_sample_descriptors_matches_oracle(rng):
+    hc, wc, d = 15, 49, 256
+    grid = rng.normal(size=(1, hc, wc, d)).astype(np.float32)
+    h, w = 120, 392
+    pts = np.array([[0, 0], [391, 119], [200.0, 60.0], [37, 93], [388, 4]],
+                   np.float32)
+    ours = np.asarray(pp.sample_descriptors(
+        jnp.asarray(grid), jnp.asarray(pts[None]), (h, w)))[0]
+    for i, (x, y) in enumerate(pts):
+        ref = oracle.sample_descriptor_np(grid[0], float(x), float(y), h, w)
+        np.testing.assert_allclose(ours[i], ref, atol=1e-5)
+        np.testing.assert_allclose(np.linalg.norm(ours[i]), 1.0, atol=1e-5)
+
+
+def test_extract_keypoints_end_to_end_shapes(rng):
+    det = rng.normal(size=(2, 15, 49, 65)).astype(np.float32)
+    desc = rng.normal(size=(2, 15, 49, 256)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    kps = jax.jit(lambda a, b: pp.extract_keypoints(
+        a, b, k=1000, conf_thresh=0.015, nms_radius=4, border=4))(
+        jnp.asarray(det), jnp.asarray(desc))
+    assert kps.xy.shape == (2, 1000, 2)
+    assert kps.desc.shape == (2, 1000, 256)
+    assert kps.valid.dtype == bool
+    n = int(kps.valid.sum())
+    assert n > 0
