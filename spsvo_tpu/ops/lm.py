@@ -107,8 +107,8 @@ def refine_pose(q0: jax.Array, t0: jax.Array, pts3d_curr: jax.Array,
 
     c0 = state_cost(q0, t0)
 
-    def step(i, carry):
-        q, t, lam, cost = carry
+    def step(carry):
+        q, t, lam, cost, it, done = carry
 
         def resid_tangent(delta):
             qd = se3.quat_boxplus(q, delta[:3])
@@ -134,17 +134,27 @@ def refine_pose(q0: jax.Array, t0: jax.Array, pts3d_curr: jax.Array,
         cost_new = state_cost(q_new, t_new)
 
         accept = cost_new < cost
+        # Ceres-style function tolerance: stop once an accepted step no
+        # longer reduces the cost meaningfully (typical convergence is
+        # 5-15 iterations; early exit saves the sequential latency of the
+        # remaining ones)
+        converged = accept & (cost - cost_new <= 1e-6 * cost)
+        stuck = (~accept) & (lam >= 1e6)
         q = jnp.where(accept, q_new, q)
         t = jnp.where(accept, t_new, t)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9),
                         jnp.minimum(lam * 4.0, 1e6))
         cost = jnp.where(accept, cost_new, cost)
-        return q, t, lam, cost
+        return q, t, lam, cost, it + 1, converged | stuck
 
-    q, t, _, c_final = jax.lax.fori_loop(
-        0, max_iterations, step, (q0.astype(jnp.float32),
-                                  t0.astype(jnp.float32),
-                                  jnp.float32(1e-4), c0))
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return (it < max_iterations) & ~done
+
+    q, t, _, c_final, _, _ = jax.lax.while_loop(
+        cond, step, (q0.astype(jnp.float32), t0.astype(jnp.float32),
+                     jnp.float32(1e-4), c0, jnp.int32(0),
+                     jnp.asarray(False)))
 
     improved = c_final < c0
     q = jnp.where(improved, q, q0)

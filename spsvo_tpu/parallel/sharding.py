@@ -57,7 +57,8 @@ def frontend_batch(apply_fn, params, images: jax.Array, cfg: VOConfig
 def _pair_solve(key, kp_l_prev: Keypoints, kp_r_prev: Keypoints,
                 kp_l_curr: Keypoints, kp_r_curr: Keypoints,
                 P_l, P_r, cfg: VOConfig):
-    """Solve one (prev, curr) frame pair -> (T_curr_prev, diagnostics)."""
+    """Solve one (prev, curr) frame pair; gates are applied afterwards in a
+    scalar sequential pass (`_gate_scan`)."""
     m_stereo_curr = _match(kp_l_curr, kp_r_curr, cfg)
     m_stereo_prev = _match(kp_l_prev, kp_r_prev, cfg)
     m_inter = _match(kp_l_curr, kp_l_prev, cfg)
@@ -72,11 +73,45 @@ def _pair_solve(key, kp_l_prev: Keypoints, kp_r_prev: Keypoints,
     t0 = jnp.zeros(3, jnp.float32)
     res = solver.solve_stereo_odometry(
         key, chain, P_l, P_r, q0, t0,
-        frame_count=jnp.int32(0),  # gates disarmed in offline mode
+        frame_count=jnp.int32(0),  # per-pair gates disarmed; see _gate_scan
         cfg=cfg)
     diag = {"num_chain": res.num_chain, "num_inliers": res.num_inliers,
             "pnp_success": res.pnp_success}
-    return res.T_curr_prev, diag
+    # q/t: refined pose; q_pred/t_pred: raw PnP pose (prior-update source)
+    return (res.q, res.t, res.q_pred, res.t_pred, res.pnp_success), diag
+
+
+def _gate_scan(qs, ts, qs_raw, ts_raw, success, cfg: VOConfig):
+    """Sequential gate semantics over already-solved pairs — scalars only.
+
+    Reproduces the reference's online gates (feature_detection_base.cpp:
+    241-272): per frame, if PnP failed or the acceleration
+    ||t_raw - t_pred|| / dt exceeds the limit (armed after
+    `ignore_frame_count` frames), the constant-velocity prediction replaces
+    the solved pose; otherwise the prediction is updated with the RAW PnP
+    pose (the reference updates before refinement, :269-271). Cost: a
+    lax.scan over a handful of scalars per pair — microseconds, preserving
+    the parallel mode's throughput.
+    """
+    def body(carry, xs):
+        q_pred, t_pred, frame_count = carry
+        q, t, q_raw, t_raw, ok = xs
+        accel = jnp.linalg.norm(t_raw - t_pred) / cfg.time_interval
+        anomaly = (frame_count > cfg.ignore_frame_count) & (
+            accel > cfg.max_acceleration)
+        use_pred = (~ok) | anomaly
+        q_out = jnp.where(use_pred, q_pred, q)
+        t_out = jnp.where(use_pred, t_pred, t)
+        q_pred = jnp.where(use_pred, q_pred, q_raw)
+        t_pred = jnp.where(use_pred, t_pred, t_raw)
+        return ((q_pred, t_pred, frame_count + 1),
+                (q_out, t_out, use_pred))
+
+    init = (jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+            jnp.zeros(3, jnp.float32), jnp.int32(1))
+    _, (q_out, t_out, gated) = jax.lax.scan(
+        body, init, (qs, ts, qs_raw, ts_raw, success))
+    return q_out, t_out, gated
 
 
 def build_batch_vo(apply_fn, cfg: VOConfig, mesh: Mesh,
@@ -105,12 +140,18 @@ def build_batch_vo(apply_fn, cfg: VOConfig, mesh: Mesh,
         curr_l = jax.tree.map(lambda a: a[1:], kp_l)
         curr_r = jax.tree.map(lambda a: a[1:], kp_r)
         keys = jax.random.split(key, n - 1)
-        T_pair, diag = jax.vmap(
+        (qs, ts, qs_raw, ts_raw, success), diag = jax.vmap(
             functools.partial(_pair_solve, P_l=P_l, P_r=P_r, cfg=cfg)
         )(keys, prev_l, prev_r, curr_l, curr_r)
 
-        # phase 3: pose chaining world_T_i = Π_j<i inv(T_pair_j) — log-depth
-        deltas = se3.invert_transform(T_pair)           # prev_T_curr^-1 ...
+        # phase 2b: sequential gate semantics over scalars (cheap)
+        q_out, t_out, gated = _gate_scan(qs, ts, qs_raw, ts_raw, success, cfg)
+        diag = dict(diag)
+        diag["gated"] = gated
+        # phase 3: pose chaining. The solver's (q, t) is prev_T_curr
+        # (x_prev = R x_curr + t), which is exactly the world-chaining delta:
+        # world_T_i = Π_{j<=i} prev_T_curr_j. Log-depth associative scan.
+        deltas = se3.make_transform(q_out, t_out)
         # world_T_curr_i = delta_0 @ delta_1 @ ... @ delta_{i-1}
         chained = jax.lax.associative_scan(
             lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), deltas)

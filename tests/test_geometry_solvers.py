@@ -29,16 +29,23 @@ def _scene(rng, n=200, noise=0.0):
 
 def test_triangulate_matches_cv2(rng):
     pts, uv_l, uv_r = _scene(rng, 100, noise=0.2)
-    ours = np.asarray(triangulate(
-        jnp.asarray(P_L, jnp.float32), jnp.asarray(P_R, jnp.float32),
-        jnp.asarray(uv_l, jnp.float32), jnp.asarray(uv_r, jnp.float32)))
     X4 = cv2.triangulatePoints(P_L, P_R, uv_l.T.astype(np.float64),
                                uv_r.T.astype(np.float64))
     ref = (X4[:3] / X4[3]).T
-    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-4)
+    args = (jnp.asarray(P_L, jnp.float32), jnp.asarray(P_R, jnp.float32),
+            jnp.asarray(uv_l, jnp.float32), jnp.asarray(uv_r, jnp.float32))
+    # svd mode: exact algorithmic parity with cv::triangulatePoints
+    svd = np.asarray(triangulate(*args, method="svd"))
+    np.testing.assert_allclose(svd, ref, atol=2e-3, rtol=1e-4)
+    # fast lstsq mode (default): same solution up to the w=1 gauge for
+    # finite points
+    # the two formulations weight pixel noise slightly differently; with
+    # 0.2px noise the solutions agree to <1% even at 40m depth
+    fast = np.asarray(triangulate(*args))
+    np.testing.assert_allclose(fast, ref, atol=5e-2, rtol=1e-2)
     # vs ground truth: 0.2px noise at up to 40m depth gives metre-level depth
     # uncertainty — just check we're as good as cv2 is
-    assert np.abs(ours - pts).max() <= np.abs(ref - pts).max() * 1.2 + 0.01
+    assert np.abs(fast - pts).max() <= np.abs(ref - pts).max() * 1.2 + 0.01
 
 
 def test_triangulate_exact_recovers_points(rng):
