@@ -6,17 +6,20 @@ Prints ONE JSON line:
 
 Baseline: the reference's best end-to-end throughput — SuperPoint @ 120x392
 on an RTX 2070 laptop, ~66.3 FPS (BASELINE.md; src/odml_visual_odometry/
-README.md:46). The north-star target is 500 FPS on one v5e chip.
+README.md:46). North-star target: 500 FPS on one v5e chip.
 
-The measured quantity is the full per-frame pipeline (CNN forward, detector
-postprocess, descriptor sampling, 2x matching, chain filter, triangulation,
-RANSAC, LM refinement, pose out), sequential frame-by-frame with real data
-dependencies between frames, on real image content (the 22 bundled KITTI
-frames, cycled). Auxiliary metrics go to stderr.
+Measured quantity (headline): the gate-correct throughput mode
+(`parallel.build_batch_vo`) over 128 real frames at 120x392 in fp32 — the
+full per-frame pipeline (CNN forward, detector postprocess, descriptor
+sampling, 3x matching, chain filter, triangulation x2, 256-hypothesis
+RANSAC + polish, LM refinement, sequential gate pass, pose chaining), with
+every per-frame artefact the online mode produces. Aux numbers on stderr:
+online-semantics sequential scan and the bf16 trunk variant.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -25,28 +28,18 @@ import time
 import numpy as np
 
 BASELINE_FPS = 66.3
+N_FRAMES = 128
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def _load_frames(cfg):
     import cv2
-    import jax
-    import jax.numpy as jnp
 
-    from spsvo_tpu.config import VOConfig
-    from spsvo_tpu.models import zoo
-    from spsvo_tpu.parallel.sharding import build_sequence_scan
-    from spsvo_tpu.ops.image import preprocess_image_np, \
-        update_projection_matrix_np
-
-    cfg = VOConfig(model_name_prefix="sp_mbv1", image_height=120,
-                   image_width=392, max_keypoints=512)
-    apply_fn, params = zoo.load_model(cfg.model_name_prefix)
-
-    # ---- data: 22 bundled KITTI frames, preprocessed once on host --------
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
     img_dir = "/root/reference/src/odml_visual_odometry/sample_images"
     files = sorted(os.listdir(img_dir))
     raw = [cv2.imread(os.path.join(img_dir, f), cv2.IMREAD_GRAYSCALE)
@@ -62,45 +55,77 @@ def main():
                                        cfg.image_width)
     pre = [preprocess_image_np(im, cfg.image_height, cfg.image_width)
            for im in raw]
-    # mono sample data: right view = left shifted (gives real disparity)
-    n_frames = 128
-    frames = np.zeros((n_frames, 2, cfg.image_height, cfg.image_width),
+    frames = np.zeros((N_FRAMES, 2, cfg.image_height, cfg.image_width),
                       np.float32)
-    for i in range(n_frames):
+    for i in range(N_FRAMES):
         im = pre[i % len(pre)]
         frames[i, 0] = im
-        frames[i, 1] = np.roll(im, -6, axis=1)
+        frames[i, 1] = np.roll(im, -6, axis=1)  # synthetic disparity
+    return frames, P_l2, P_r2
 
-    seq_fn = build_sequence_scan(apply_fn, cfg)
+
+def _measure(fn, args, n_frames, reps=3):
+    out = fn(*args)
+    np.asarray(out[0])  # compile+run; host fetch is the only reliable sync
+    best = float("inf")
+    diags = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(out[0])
+        best = min(best, time.perf_counter() - t0)
+        diags = out[1]
+    return n_frames / best, diags
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spsvo_tpu.config import Precision, VOConfig
+    from spsvo_tpu.models import zoo
+    from spsvo_tpu.parallel.sharding import (build_batch_vo,
+                                             build_sequence_scan, make_mesh)
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", image_height=120,
+                   image_width=392, max_keypoints=512, ransac_iterations=256)
+    frames, P_l2, P_r2 = _load_frames(cfg)
+    mesh = make_mesh()
+    key = jax.random.PRNGKey(0)
     images = jnp.asarray(frames)
     P_l_j = jnp.asarray(P_l2, jnp.float32)
     P_r_j = jnp.asarray(P_r2, jnp.float32)
-    key = jax.random.PRNGKey(0)
 
-    log("compiling sequence scan...")
+    # ---- headline: gate-correct throughput mode, fp32 --------------------
+    apply_fn, params = zoo.load_model(cfg.model_name_prefix)
     t0 = time.perf_counter()
-    world, diags = seq_fn(params, images, P_l_j, P_r_j, key)
-    # NOTE: sync via host fetch — block_until_ready is a no-op on the
-    # experimental axon platform, so fetching the (tiny) result is the only
-    # reliable completion barrier.
-    np.asarray(world)
-    log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
+    batch_fn = build_batch_vo(apply_fn, cfg, mesh)
+    fps, diags = _measure(batch_fn, (params, images, P_l_j, P_r_j, key),
+                          N_FRAMES)
+    log(f"throughput fp32: {fps:.1f} FPS "
+        f"(compile+3 reps {time.perf_counter()-t0:.0f}s, "
+        f"mean inliers {np.asarray(diags['num_inliers']).mean():.0f})")
 
-    # timed runs
-    best = float("inf")
-    for rep in range(3):
-        t0 = time.perf_counter()
-        world, diags = seq_fn(params, images, P_l_j, P_r_j, key)
-        world = np.asarray(world)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        log(f"rep {rep}: {dt*1e3:.1f} ms for {n_frames} frames "
-            f"({n_frames/dt:.1f} FPS)")
+    # ---- aux: online-semantics sequential scan ---------------------------
+    try:
+        seq_fn = build_sequence_scan(apply_fn, cfg)
+        fps_online, _ = _measure(
+            seq_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES, reps=2)
+        log(f"online-sequential fp32: {fps_online:.1f} FPS")
+    except Exception as e:
+        log(f"online aux run failed: {e}")
 
-    fps = n_frames / best
-    nkp = np.asarray(diags["num_keypoints_left"]).mean()
-    ninl = np.asarray(diags["num_inliers"]).mean()
-    log(f"mean keypoints {nkp:.0f}, mean inliers {ninl:.0f}")
+    # ---- aux: bf16 trunk (the reference's FP16-engine counterpart) -------
+    try:
+        cfg16 = dataclasses.replace(cfg, precision=Precision.BF16)
+        apply16, _ = zoo.load_model(cfg.model_name_prefix, jnp.bfloat16)
+        b16 = build_batch_vo(apply16, cfg16, mesh)
+        fps16, _ = _measure(b16, (params, images, P_l_j, P_r_j, key),
+                            N_FRAMES, reps=2)
+        log(f"throughput bf16: {fps16:.1f} FPS")
+    except Exception as e:
+        log(f"bf16 aux run failed: {e}")
+
     print(json.dumps({
         "metric": "stereo_vo_fps",
         "value": round(fps, 2),

@@ -287,6 +287,39 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32):
     nodes = list(graph.nodes)
     output_names = list(graph.output_names)
 
+    # Fuse (ReduceL2 -> Div) pairs into one stable L2-normalisation:
+    # x * rsqrt(sum(x^2) + eps). Numerically identical in inference (norms
+    # are O(1..100); golden-tested vs cv2.dnn), but the fused form has a
+    # bounded backward — the raw x/||x|| Div explodes gradients wherever a
+    # ReLU-dead descriptor column drives ||x|| -> 0, which NaN'd training.
+    consumers: Dict[str, int] = {}
+    for node in nodes:
+        for name in node.inputs:
+            consumers[name] = consumers.get(name, 0) + 1
+    l2_nodes: Dict[str, OnnxNode] = {
+        n.outputs[0]: n for n in nodes
+        if (n.op == "ReduceL2" and list(n.attr("axes", [1])) == [1]
+            and bool(n.attr("keepdims", 1)))}
+    fusable: Dict[str, str] = {}   # ReduceL2 output -> its input, fusable
+    for node in nodes:
+        # fuse only the exact x / ||x|| pattern with a single-use norm
+        if (node.op == "Div" and node.inputs[1] in l2_nodes
+                and l2_nodes[node.inputs[1]].inputs[0] == node.inputs[0]
+                and consumers.get(node.inputs[1], 0) == 1
+                and node.inputs[1] not in output_names):
+            fusable[node.inputs[1]] = node.inputs[0]
+    fused: List[OnnxNode] = []
+    for node in nodes:
+        if node.op == "ReduceL2" and node.outputs[0] in fusable:
+            continue  # consumed by the matching Div below
+        if (node.op == "Div" and node.inputs[1] in fusable
+                and fusable[node.inputs[1]] == node.inputs[0]):
+            fused.append(OnnxNode("L2Normalize", [node.inputs[0]],
+                                  [node.outputs[0]], {}))
+            continue
+        fused.append(node)
+    nodes = fused
+
     def apply(params: Dict[str, jax.Array], x: jax.Array) -> Dict[str, jax.Array]:
         env: Dict[str, jax.Array] = {graph.input_names[0]: x}
 
@@ -315,7 +348,8 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32):
                 mean = params[node.inputs[3]]
                 var = params[node.inputs[4]]
                 eps = float(node.attr("epsilon", 1e-5))
-                scale = gamma * jax.lax.rsqrt(var + eps)
+                # clamp: variance buffers must never drive rsqrt negative
+                scale = gamma * jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
                 y = xin * scale + (beta - mean * scale)
             elif node.op == "Add":
                 y = get(node.inputs[0]) + get(node.inputs[1])
@@ -328,6 +362,10 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32):
                 if axis == 1:
                     axis = -1  # NCHW channel axis -> NHWC channel axis
                 y = jnp.concatenate([get(i) for i in node.inputs], axis=axis)
+            elif node.op == "L2Normalize":
+                xin = get(node.inputs[0]).astype(jnp.float32)
+                y = xin * jax.lax.rsqrt(
+                    jnp.sum(xin * xin, axis=-1, keepdims=True) + 1e-12)
             elif node.op == "ReduceL2":
                 axes = node.attr("axes", [1])
                 axes = tuple(-1 if int(a) == 1 else int(a) for a in axes)

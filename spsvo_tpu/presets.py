@@ -1,0 +1,79 @@
+"""Config presets mirroring the reference's launch files (C19).
+
+Each preset reproduces one roslaunch parameter block
+(src/odml_visual_odometry/launch/*.launch, src/odml_data_processing/launch/
+main.launch) as a `VOConfig`; `main_config` composes like main.launch's
+is_classic/is_jetson arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from spsvo_tpu.config import (DescriptorType, DetectorType, MatcherType,
+                              Precision, SelectorType, VOConfig)
+
+
+def classic_orb() -> VOConfig:
+    """visual_odometry_classic.launch: ORB/ORB, BF matcher, NN selector,
+    native resolution (image_height=0 passthrough)."""
+    return VOConfig(
+        is_classic=True,
+        detector_type=DetectorType.ORB,
+        descriptor_type=DescriptorType.ORB,
+        matcher_type=MatcherType.BF,
+        selector_type=SelectorType.NN,
+        cross_check=True,
+        image_height=0, image_width=0,
+        stereo_threshold=2.0, min_disparity=1.0, refinement_degree=4)
+
+
+def superpoint_laptop() -> VOConfig:
+    """visual_odometry_superpoint.launch: sp_resnet18, 360x1176, FP32,
+    batch 1."""
+    return VOConfig(
+        model_name_prefix="sp_resnet18",
+        model_batch_size=1,
+        image_height=360, image_width=1176,
+        precision=Precision.FP32,
+        conf_thresh=0.015, dist_thresh=4, border_remove=4,
+        stereo_threshold=2.0, min_disparity=1.0, refinement_degree=4)
+
+
+def superpoint_jetson() -> VOConfig:
+    """visual_odometry_superpoint_jetson.launch: superpoint_pretrained,
+    360x1176, FP16 (-> BF16 on TPU), batch 2, verbose."""
+    return VOConfig(
+        model_name_prefix="superpoint_pretrained",
+        model_batch_size=2,
+        image_height=360, image_width=1176,
+        precision=Precision.BF16,
+        verbose=True,
+        conf_thresh=0.015, dist_thresh=4, border_remove=4,
+        stereo_threshold=2.0, min_disparity=1.0, refinement_degree=4)
+
+
+def flagship_tpu() -> VOConfig:
+    """This framework's flagship: sp_mbv1 @ 120x392 (imported weights),
+    batch-2 stereo — the configuration bench.py measures."""
+    return VOConfig(
+        model_name_prefix="sp_mbv1",
+        model_batch_size=2,
+        image_height=120, image_width=392,
+        max_keypoints=512)
+
+
+def main_config(is_classic: bool = False, is_jetson: bool = False
+                ) -> VOConfig:
+    """main.launch composition (odml_data_processing/launch/main.launch:1-24)."""
+    if is_classic:
+        return classic_orb()
+    return superpoint_jetson() if is_jetson else superpoint_laptop()
+
+
+PRESETS = {
+    "classic_orb": classic_orb,
+    "superpoint_laptop": superpoint_laptop,
+    "superpoint_jetson": superpoint_jetson,
+    "flagship_tpu": flagship_tpu,
+}

@@ -76,19 +76,31 @@ def total_loss(apply_fn, params, batch: Dict[str, jax.Array]
     return loss, {"loss": loss, "det_loss": l_det, "desc_loss": l_desc}
 
 
-def make_optimizer(lr: float = 1e-3) -> optax.GradientTransformation:
-    return optax.adam(lr)
+def _is_buffer(name: str) -> bool:
+    """BatchNorm statistics are inference buffers, not weights — training
+    them as free parameters drives running_var negative (NaN through
+    rsqrt). They are frozen via an optax mask."""
+    return name.endswith(".running_mean") or name.endswith(".running_var")
+
+
+def make_optimizer(lr: float, params: Any) -> optax.GradientTransformation:
+    labels = jax.tree.map_with_path(
+        lambda path, _: ("buffer" if _is_buffer(
+            str(path[-1].key) if path else "") else "weight"),
+        params)
+    return optax.multi_transform(
+        {"weight": optax.adam(lr), "buffer": optax.set_to_zero()}, labels)
 
 
 def init_train_state(apply_fn, params, lr: float = 1e-3) -> TrainState:
-    tx = make_optimizer(lr)
+    tx = make_optimizer(lr, params)
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.int32(0))
 
 
 def train_step(state: TrainState, batch: Dict[str, jax.Array], *, apply_fn,
                lr: float = 1e-3) -> Tuple[TrainState, Dict[str, jax.Array]]:
-    tx = make_optimizer(lr)
+    tx = make_optimizer(lr, state.params)
     grad_fn = jax.value_and_grad(
         lambda p: total_loss(apply_fn, p, batch), has_aux=True)
     (_, metrics), grads = grad_fn(state.params)

@@ -1,0 +1,80 @@
+"""Classic (OpenCV) front end behind the TPU geometry path."""
+import numpy as np
+import pytest
+
+from spsvo_tpu.config import (DescriptorType, DetectorType, SelectorType,
+                              VOConfig)
+from spsvo_tpu.frontend_classic import ClassicVisualOdometry
+
+
+def _textured(rng, h=375, w=1242):
+    import cv2
+    noise = cv2.GaussianBlur(rng.random((h, w)).astype(np.float32), (0, 0), 5)
+    img = ((noise > np.median(noise)) * 200 + 30).astype(np.uint8)
+    return cv2.GaussianBlur(img, (0, 0), 1.0)
+
+
+@pytest.mark.slow
+def test_classic_orb_runs(rng):
+    cfg = VOConfig(is_classic=True, detector_type=DetectorType.ORB,
+                   descriptor_type=DescriptorType.ORB,
+                   image_height=0, image_width=0, max_keypoints=512,
+                   ransac_iterations=128, lm_max_iterations=8)
+    vo = ClassicVisualOdometry(cfg)
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]])
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    img = _textured(rng)
+    # shift = fake disparity; shift again = fake motion
+    for shift in (0, 2, 4):
+        il = np.roll(img, shift, axis=1)
+        ir = np.roll(il, -8, axis=1)
+        T, info = vo.process(il, ir, P, P_r, want_diagnostics=True)
+        assert np.all(np.isfinite(T))
+    assert info["num_keypoints_left"] > 100
+    assert info["num_stereo_matches"] > 50
+
+
+@pytest.mark.slow
+def test_classic_sift_float_descriptors(rng):
+    cfg = VOConfig(is_classic=True, detector_type=DetectorType.SIFT,
+                   descriptor_type=DescriptorType.SIFT,
+                   selector_type=SelectorType.KNN, cross_check=False,
+                   image_height=0, image_width=0, max_keypoints=256,
+                   ransac_iterations=64, lm_max_iterations=4)
+    vo = ClassicVisualOdometry(cfg)
+    assert not vo.binary
+    P = np.eye(3, 4); P_r = P.copy(); P_r[0, 3] = -386.0
+    img = _textured(rng, 240, 320)
+    T, info = vo.process(img, np.roll(img, -4, axis=1), P, P_r,
+                         want_diagnostics=True)
+    assert info["num_keypoints_left"] > 20
+
+
+def test_hamming_matches_cv2_on_orb(rng):
+    """TPU bit-matmul Hamming == cv2 BFMatcher NORM_HAMMING on real ORB
+    descriptors."""
+    import cv2
+    import jax.numpy as jnp
+    from spsvo_tpu.ops import matching
+    img = _textured(rng, 240, 320)
+    orb = cv2.ORB_create(nfeatures=300)
+    kps, desc = orb.detectAndCompute(img, None)
+    kps2, desc2 = orb.detectAndCompute(np.roll(img, 3, axis=1), None)
+    if desc is None or desc2 is None or len(desc) < 20 or len(desc2) < 20:
+        pytest.skip("not enough ORB features")
+    bits0 = np.unpackbits(desc, axis=1).astype(np.float32)
+    bits1 = np.unpackbits(desc2, axis=1).astype(np.float32)
+    res = matching.match_descriptors(
+        jnp.asarray(bits0), jnp.asarray(np.ones(len(bits0), bool)),
+        jnp.asarray(bits1), jnp.asarray(np.ones(len(bits1), bool)),
+        cross_check=True, binary=True)
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+    cv_map = np.full(len(bits0), -1, np.int32)
+    for m in bf.match(desc, desc2):
+        cv_map[m.queryIdx] = m.trainIdx
+    ours = np.asarray(res.idx)
+    # ties in Hamming distance may resolve differently; demand 97% agreement
+    agree = (ours == cv_map).mean()
+    assert agree > 0.97, agree

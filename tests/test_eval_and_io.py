@@ -1,0 +1,157 @@
+"""Eval metrics, KITTI IO, presets, logging guards, viz."""
+import os
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from spsvo_tpu import presets
+from spsvo_tpu.config import DetectorType, Precision, VOConfig, sweep_configs
+from spsvo_tpu.eval import metrics
+from spsvo_tpu.io import kitti
+from spsvo_tpu.utils.logging import RuntimeGuards
+
+
+def _straight_trajectory(n, step=1.0):
+    poses = []
+    for i in range(n):
+        T = np.eye(4)
+        T[2, 3] = i * step
+        poses.append(T)
+    return poses
+
+
+def test_kitti_errors_zero_for_identical():
+    gt = _straight_trajectory(200, 1.0)
+    out = metrics.kitti_errors(gt, gt)
+    assert out["num_subsequences"] > 0
+    assert out["t_err_percent"] == pytest.approx(0.0, abs=1e-9)
+    assert out["r_err_deg_per_m"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_kitti_errors_scale_bias():
+    gt = _straight_trajectory(300, 1.0)
+    est = _straight_trajectory(300, 0.98)  # 2% scale error
+    out = metrics.kitti_errors(gt, est)
+    assert out["t_err_percent"] == pytest.approx(2.0, rel=0.05)
+
+
+def test_ate_alignment_invariance():
+    gt = _straight_trajectory(50, 1.0)
+    R = Rotation.from_rotvec([0.1, 0.2, 0.3]).as_matrix()
+    est = []
+    for T in gt:
+        T2 = np.eye(4)
+        T2[:3, :3] = R @ T[:3, :3]
+        T2[:3, 3] = R @ T[:3, 3] + [5.0, -2.0, 1.0]
+        est.append(T2)
+    assert metrics.ate(gt, est) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_rpe_detects_drift():
+    gt = _straight_trajectory(100, 1.0)
+    est = _straight_trajectory(100, 1.01)
+    out = metrics.rpe(gt, est)
+    assert out["rpe_trans_rmse_m"] == pytest.approx(0.01, rel=0.05)
+
+
+def test_pose_file_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    poses = []
+    T = np.eye(4)
+    for _ in range(10):
+        d = np.eye(4)
+        d[:3, :3] = Rotation.from_rotvec(0.01 * rng.normal(size=3)).as_matrix()
+        d[:3, 3] = rng.normal(size=3)
+        T = T @ d
+        poses.append(T.copy())
+    path = str(tmp_path / "poses.txt")
+    kitti.write_kitti_poses(path, poses)
+    loaded = kitti.read_kitti_poses(path)
+    assert len(loaded) == 10
+    # file is expressed relative to the first pose
+    T0_inv = np.linalg.inv(poses[0])
+    for T_orig, T_load in zip(poses, loaded):
+        np.testing.assert_allclose(T_load, T0_inv @ T_orig, atol=1e-6)
+
+
+def test_kitti_eval_tables_match_reference():
+    # reference data_processing_node.cpp:37-57
+    assert len(kitti.KITTI_EVAL_DRIVES) == 14
+    assert kitti.KITTI_EVAL_DRIVES[0] == ("2011_10_03", "0027")
+    assert kitti.KITTI_EVAL_START_FRAME[8] == 1100
+    assert kitti.KITTI_EVAL_END_FRAME[8] == 5170
+    assert kitti.result_filename(3) == "03_pred.txt"
+    assert kitti.result_filename(13) == "13_pred.txt"
+
+
+def test_read_calib(tmp_path):
+    p = tmp_path / "calib.txt"
+    p.write_text(
+        "P0: 7.18856e+02 0 6.071928e+02 0 0 7.18856e+02 1.852157e+02 0 "
+        "0 0 1 0\n"
+        "P1: 7.18856e+02 0 6.071928e+02 -3.861448e+02 0 7.18856e+02 "
+        "1.852157e+02 0 0 0 1 0\n")
+    P_l, P_r = kitti.read_calib(str(p))
+    assert P_l.shape == (3, 4)
+    assert P_r[0, 3] == pytest.approx(-386.1448)
+
+
+def test_presets_cover_launch_matrix():
+    c = presets.classic_orb()
+    assert c.is_classic and c.detector_type == DetectorType.ORB
+    assert c.image_height == 0  # native-resolution passthrough
+    lp = presets.superpoint_laptop()
+    assert (lp.model_name_prefix, lp.model_batch_size,
+            lp.image_height, lp.precision) == ("sp_resnet18", 1, 360,
+                                               Precision.FP32)
+    jt = presets.superpoint_jetson()
+    assert (jt.model_name_prefix, jt.model_batch_size,
+            jt.precision) == ("superpoint_pretrained", 2, Precision.BF16)
+    assert presets.main_config(is_classic=True).is_classic
+    assert presets.main_config(is_jetson=True).precision == Precision.BF16
+
+
+def test_sweep_grid_size():
+    cfgs = sweep_configs()
+    assert len(cfgs) == 72  # 6 backbones x 2 batch x 3 res x 2 precision
+    assert len({c.config_string for c in cfgs}) == 72
+
+
+def test_runtime_guards():
+    g = RuntimeGuards(latency_budget_ms=125.0)
+    assert g.check_latency(50.0)
+    assert not g.check_latency(200.0)
+    assert not g.check_matches(5, "CURR_LEFT_CURR_RIGHT")
+    assert g.check_matches(50)
+    assert g.summary()["latency"] == 1
+    assert g.summary()["matches"] == 1
+
+
+def test_viz_renders(rng):
+    from spsvo_tpu import viz
+    img = (rng.random((120, 392)) * 255).astype(np.uint8)
+    xy0 = rng.uniform(0, 100, (30, 2)).astype(np.float32)
+    xy1 = rng.uniform(0, 100, (30, 2)).astype(np.float32)
+    idx = np.arange(30, dtype=np.int32)
+    idx[::3] = -1
+    m = viz.draw_matches(img, xy0, img, xy1, idx)
+    assert m.shape == (120, 392 * 2, 3)
+    inl = viz.draw_inliers(img, xy0, xy1, idx, idx,
+                           idx >= 0, (idx >= 0) & (np.arange(30) % 2 == 0))
+    assert inl.shape == (120, 392, 3)
+    traj = viz.draw_trajectory(_straight_trajectory(20))
+    assert traj.shape == (600, 600, 3)
+
+
+def test_latency_trace(tmp_path):
+    from spsvo_tpu.utils.profiling import LatencyTrace
+    tr = LatencyTrace(str(tmp_path), "tpu", "sp_mbv1_2_120_392_FP32",
+                      "seq_0")
+    tr.add(detect=1.0, match=2.0, solve=3.0, total=6.0)
+    tr.add(total=5.0)
+    tr.close()
+    lines = open(tr.path).read().strip().splitlines()
+    assert lines[0] == "detect,match,solve,total"
+    assert len(lines) == 3
+    assert "sp_mbv1_2_120_392_FP32_seq_0.csv" in tr.path

@@ -1,0 +1,97 @@
+"""Eval harness: artifacts, naming contracts, sweep bookkeeping."""
+import json
+import os
+
+import numpy as np
+
+from spsvo_tpu.config import VOConfig
+from spsvo_tpu.eval import harness
+
+
+class _StubVO:
+    """Minimal pipeline stand-in: constant forward motion."""
+
+    def __init__(self):
+        self.cfg = VOConfig(model_name_prefix="sp_mbv1", max_keypoints=64)
+        self.reset()
+
+    def reset(self):
+        self.trajectory = []
+        self.world = np.eye(4)
+
+    def process(self, il, ir, P_l, P_r, want_diagnostics=False):
+        T = np.eye(4)
+        T[2, 3] = -1.0  # cam0_curr_T_cam0_prev for 1m forward motion
+        self.world = self.world @ np.linalg.inv(T)
+        self.trajectory.append(self.world.copy())
+        info = {"latency_s": 0.001}
+        if want_diagnostics:
+            info.update(num_inliers=42)
+        return T, info
+
+
+def _frames(n=5):
+    img = np.zeros((16, 32), np.uint8)
+    return [(img, img) for _ in range(n)]
+
+
+def test_run_sequence_writes_artifacts(tmp_path):
+    vo = _StubVO()
+    P = np.eye(3, 4)
+    res = harness.run_sequence(
+        vo, _frames(6), P, P, results_dir=str(tmp_path / "kitti_results"),
+        description="unit", kitti_eval_id=5,
+        latency_dir=str(tmp_path / "lat"), machine_name="tpu",
+        sequence_tag="seq_5")
+    # pose file: reference naming 05_pred.txt, 12 numbers per line
+    pose_file = tmp_path / "kitti_results" / "unit" / "05_pred.txt"
+    assert pose_file.exists()
+    lines = pose_file.read_text().strip().splitlines()
+    assert len(lines) == 6
+    assert len(lines[0].split()) == 12
+    # trajectory moves 1m forward per frame, relative to first pose
+    last = np.array([float(v) for v in lines[-1].split()]).reshape(3, 4)
+    assert last[2, 3] == 5.0
+    # latency CSV naming contract {config}_{tag}.csv under machine dir
+    csv = tmp_path / "lat" / "tpu" / f"{vo.cfg.config_string}_seq_5.csv"
+    assert csv.exists()
+    assert csv.read_text().splitlines()[0] == "detect,match,solve,total"
+    assert res.fps > 0
+
+
+def test_score_against_ground_truth(tmp_path):
+    from spsvo_tpu.io import kitti
+    poses = []
+    T = np.eye(4)
+    for i in range(50):
+        T = T.copy(); T[2, 3] = float(i)
+        poses.append(T.copy())
+    gt_file = str(tmp_path / "00.txt")
+    kitti.write_kitti_poses(gt_file, poses)
+    out = harness.score_against_ground_truth(poses, gt_file)
+    assert out["ate_m"] < 1e-9
+    assert out["rpe_trans_rmse_m"] < 1e-9
+
+
+def test_run_sweep_records_errors_and_results(tmp_path, monkeypatch):
+    # stub VisualOdometry so no models/TPU needed
+    import spsvo_tpu.pipeline as pipeline_mod
+
+    class _FakeVO(_StubVO):
+        def __init__(self, cfg, *a, **k):
+            super().__init__()
+            self.cfg = cfg
+            if cfg.model_name_prefix == "sp_mbv2":
+                raise RuntimeError("boom")
+
+    monkeypatch.setattr(pipeline_mod, "VisualOdometry", _FakeVO)
+    cfgs = [VOConfig(model_name_prefix="sp_mbv1", max_keypoints=64),
+            VOConfig(model_name_prefix="sp_mbv2", max_keypoints=64)]
+    out_json = str(tmp_path / "sweep.json")
+    P = np.eye(3, 4)
+    results = harness.run_sweep(lambda: _frames(3), P, P, configs=cfgs,
+                                out_json=out_json, max_frames=3)
+    assert len(results) == 2
+    assert "fps" in results[0]
+    assert "error" in results[1]
+    assert json.load(open(out_json)) == results

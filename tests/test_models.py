@@ -86,3 +86,19 @@ def test_save_and_reload_params(tmp_path, monkeypatch):
     for k in params:
         np.testing.assert_array_equal(np.asarray(params[k]),
                                       np.asarray(params2[k]))
+
+
+def test_gradients_finite_on_dead_activations():
+    """The (ReduceL2, Div) descriptor tail is fused into a stable
+    L2-normalisation: gradients must stay finite even when ReLU-dead
+    activations drive the pre-norm descriptor to zero (this NaN'd training
+    before the fusion)."""
+    apply_fn, params = zoo.load_model("sp_mbv1")
+
+    def loss(p, x):
+        out = apply_fn(p, x)
+        return (jnp.sum(out["output_desc"] ** 2)
+                + 1e-3 * jnp.sum(out["output_det"] ** 2))
+
+    g = jax.grad(loss)(params, jnp.zeros((1, 48, 64, 1), jnp.float32))
+    assert all(bool(jnp.all(jnp.isfinite(v))) for v in jax.tree.leaves(g))

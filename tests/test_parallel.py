@@ -1,4 +1,6 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -87,3 +89,66 @@ def test_graft_entry_contract():
     state, step_out = out
     assert step_out.T_curr_prev.shape == (4, 4)
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_batch_vo_matches_online_on_synthetic(rng):
+    """Offline frame-parallel mode must reproduce the online trajectory on
+    clean data (gates quiet, priors irrelevant)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import _synthetic_sequence
+
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
+    from spsvo_tpu.parallel.sharding import build_sequence_scan
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=128, max_keypoints=256,
+                   image_height=120, image_width=392)
+    apply_fn, params = zoo.load_model(cfg.model_name_prefix)
+    frames, poses, P_l, P_r = _synthetic_sequence(rng, n_frames=5)
+    h0, w0 = frames[0][0].shape
+    P_l2 = update_projection_matrix_np(P_l, h0, w0, 120, 392)
+    P_r2 = update_projection_matrix_np(P_r, h0, w0, 120, 392)
+    imgs = np.stack([
+        np.stack([preprocess_image_np(il, 120, 392),
+                  preprocess_image_np(ir, 120, 392)])
+        for il, ir in frames])
+
+    args = (params, jnp.asarray(imgs), jnp.asarray(P_l2, jnp.float32),
+            jnp.asarray(P_r2, jnp.float32), jax.random.PRNGKey(0))
+    online = build_sequence_scan(apply_fn, cfg)
+    w_online, _ = online(*args)
+    batch = build_batch_vo(apply_fn, cfg, make_mesh(1))
+    w_batch, _ = batch(*args)
+
+    t_on = np.asarray(w_online)[:, :3, 3]
+    t_ba = np.asarray(w_batch)[:, :3, 3]
+    # different RANSAC draws => small per-frame differences only
+    assert np.abs(t_on - t_ba).max() < 0.08, (t_on, t_ba)
+    # and both must track ground truth direction/scale
+    gt = np.array([T[:3, 3] for T in poses])
+    assert np.abs(t_ba - gt).max() < 0.25
+
+
+def test_bn_buffers_frozen_in_training():
+    """BatchNorm running statistics are inference buffers: a train step must
+    not move them (training them drove running_var negative -> NaN)."""
+    from spsvo_tpu.training import init_train_state, synthetic_batch, \
+        train_step
+    apply_fn, params = zoo.load_model("sp_mbv1")  # has real BN buffers
+    state = init_train_state(apply_fn, params, lr=1e-3)
+    batch = synthetic_batch(jax.random.PRNGKey(0), batch=1, h=48, w=64)
+    state2, metrics = jax.jit(
+        lambda s, b: train_step(s, b, apply_fn=apply_fn))(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    moved = unmoved = 0
+    for k in params:
+        same = bool(jnp.all(state2.params[k] == params[k]))
+        if k.endswith((".running_mean", ".running_var")):
+            assert same, f"buffer {k} moved"
+            unmoved += 1
+        elif not same:
+            moved += 1
+    assert unmoved > 0 and moved > 0
