@@ -154,6 +154,7 @@ class VOConfig:
     # --- TPU-specific --------------------------------------------------------
     num_parallel_frames: int = 1      # frames per sharded step (multi-chip DP)
     latency_warn_ms: float = 125.0    # reference per-step budget warning
+    use_pallas_matcher: bool = False  # fused Pallas mutual-NN kernel (TPU)
 
     def __post_init__(self) -> None:
         if not self.is_classic:

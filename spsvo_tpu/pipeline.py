@@ -108,6 +108,11 @@ def superpoint_frontend(apply_fn, params, images: jax.Array, cfg: VOConfig
 
 def _match(a: Keypoints, b: Keypoints, cfg: VOConfig,
            binary: bool = False) -> matching.MatchResult:
+    if (cfg.use_pallas_matcher and not binary
+            and cfg.selector_type == SelectorType.NN and cfg.cross_check):
+        from spsvo_tpu.ops.matching_pallas import match_nn_pallas
+        idx, dist2 = match_nn_pallas(a.desc, a.valid, b.desc, b.valid)
+        return matching.MatchResult(idx=idx, dist2=dist2)
     return matching.match_descriptors(
         a.desc, a.valid, b.desc, b.valid,
         use_ratio_test=(cfg.selector_type == SelectorType.KNN),

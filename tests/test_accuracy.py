@@ -1,0 +1,45 @@
+"""Hermetic accuracy evaluation on exact synthetic sequences (no KITTI)."""
+import numpy as np
+import pytest
+
+from spsvo_tpu.config import VOConfig
+from spsvo_tpu.eval.synthetic import score_trajectory, synthetic_drive
+from spsvo_tpu.pipeline import VisualOdometry
+
+
+@pytest.mark.slow
+def test_curved_drive_accuracy(rng):
+    """20-frame drive with a constant yaw turn: accumulated drift must stay
+    within a few percent of path length (integer-keypoint quantisation sets
+    the floor, same as the reference)."""
+    frames, gt, P_l, P_r = synthetic_drive(
+        rng, n_frames=20, yaw_rate=0.01, forward_per_frame=0.4)
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=256, max_keypoints=512)
+    vo = VisualOdometry(cfg)
+    for il, ir in frames:
+        vo.process(il, ir, P_l, P_r)
+    report = score_trajectory(vo.trajectory, gt)
+    assert report["path_length_m"] > 7.0
+    assert report["final_drift_percent"] < 6.0, report
+    assert report["ate_m"] < 0.35, report
+    assert report["rpe_trans_rmse_m"] < 0.08, report
+
+
+@pytest.mark.slow
+def test_varied_twists_drive(rng):
+    """Mixed accelerating/turning motion via explicit twists."""
+    twists = []
+    for i in range(11):
+        yaw = 0.008 * np.sin(i / 3.0)
+        fwd = 0.25 + 0.02 * i
+        twists.append((np.array([0.0, yaw, 0.0]),
+                       np.array([0.01 * np.sin(i), 0.0, fwd])))
+    frames, gt, P_l, P_r = synthetic_drive(rng, n_frames=12, twists=twists)
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=256, max_keypoints=512)
+    vo = VisualOdometry(cfg)
+    for il, ir in frames:
+        vo.process(il, ir, P_l, P_r)
+    report = score_trajectory(vo.trajectory, gt)
+    assert report["final_drift_percent"] < 8.0, report

@@ -13,53 +13,12 @@ from spsvo_tpu.config import VOConfig
 from spsvo_tpu.pipeline import VisualOdometry, init_state
 
 
-def _synthetic_sequence(rng, n_frames=6, h=375, w=1242):
-    """Textured plane rendered into a moving stereo rig — exact rendering.
-
-    The scene is a textured plane at z = Z0 (world = camera frame 0). Both
-    stereo views and every subsequent frame are exact homography warps of
-    the texture (plane-induced homographies), so keypoints see sub-pixel
-    consistent structure; the VO output must match the ground-truth motion.
-    """
-    P_l = np.array([[718.856, 0, 607.1928, 0.0],
-                    [0, 718.856, 185.2157, 0.0],
-                    [0, 0, 1.0, 0.0]], np.float64)
-    P_r = P_l.copy()
-    P_r[0, 3] = -386.1448
-
-    Z0 = 8.0
-    # texture plane parameterisation: X(u,v) = M @ [u, v, 1]
-    tw, th = 3000, 1000
-    M = np.array([[40.0 / tw, 0.0, -20.0],
-                  [0.0, 14.0 / th, -7.0],
-                  [0.0, 0.0, Z0]])
-    # high-contrast random blob texture: sharp corners survive the ~3.2x
-    # downscale to the 120x392 network input
-    noise = cv2.GaussianBlur(rng.random((th, tw)).astype(np.float32),
-                             (0, 0), 6.0)
-    tex = (noise > np.median(noise)).astype(np.uint8) * 200 + 30
-    tex = cv2.GaussianBlur(tex, (0, 0), 1.0)
-
-    frames = []
-    poses = []  # world_T_cam at each frame
-    T = np.eye(4)
-    for i in range(n_frames):
-        if i > 0:
-            dT = np.eye(4)
-            dT[:3, :3] = Rotation.from_rotvec([0.0, 0.004, 0.0]).as_matrix()
-            dT[:3, 3] = [0.02, 0.0, 0.35]  # forward motion
-            T = T @ dT
-        poses.append(T.copy())
-        Tinv = np.linalg.inv(T)  # cam_T_world
-
-        def render(P):
-            P_i = P @ Tinv
-            H = P_i[:, :3] @ M + np.outer(P_i[:, 3], [0.0, 0.0, 1.0])
-            return cv2.warpPerspective(tex, H, (w, h),
-                                       flags=cv2.INTER_LINEAR)
-
-        frames.append((render(P_l), render(P_r)))
-    return frames, poses, P_l, P_r
+def _synthetic_sequence(rng, n_frames=6):
+    """Exact homography-rendered stereo sequence (see eval.synthetic)."""
+    from spsvo_tpu.eval.synthetic import synthetic_drive
+    twists = [(np.array([0.0, 0.004, 0.0]), np.array([0.02, 0.0, 0.35]))
+              for _ in range(n_frames - 1)]
+    return synthetic_drive(rng, n_frames=n_frames, twists=twists)
 
 
 @pytest.mark.slow
