@@ -43,15 +43,34 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs[:n]), (axis_name,))
 
 
-def frontend_batch(apply_fn, params, images: jax.Array, cfg: VOConfig
-                   ) -> Keypoints:
-    """CNN + postprocess over (N, H, W) frames -> Keypoints with leading N."""
+def frontend_batch(apply_fn, params, images: jax.Array, cfg: VOConfig,
+                   chunk: int = 16) -> Keypoints:
+    """CNN + postprocess over (N, H, W) frames -> Keypoints with leading N.
+
+    Processed in chunks of `chunk` images via lax.map: full-res CNN
+    activations for a whole sequence would blow HBM (e.g. 128 x 360x1176x64
+    fp32 = 13 GB for one stem layer); chunking bounds peak memory at the
+    cost of a sequential loop over chunks, while each chunk still fills the
+    MXU. N must be a multiple of `chunk` (callers pad).
+    """
+    def run(x):
+        out = apply_fn(params, x)
+        return extract_keypoints(
+            out["output_det"], out["output_desc"], k=cfg.max_keypoints,
+            conf_thresh=cfg.conf_thresh, nms_radius=cfg.dist_thresh,
+            border=cfg.border_remove, nms_iterations=cfg.nms_iterations)
+
+    n = images.shape[0]
     x = images[..., None]
-    out = apply_fn(params, x)
-    return extract_keypoints(
-        out["output_det"], out["output_desc"], k=cfg.max_keypoints,
-        conf_thresh=cfg.conf_thresh, nms_radius=cfg.dist_thresh,
-        border=cfg.border_remove, nms_iterations=cfg.nms_iterations)
+    if n <= chunk:
+        return run(x)
+    if n % chunk:
+        pad = chunk - n % chunk
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    xc = x.reshape(-1, chunk, *x.shape[1:])
+    kps = jax.lax.map(run, xc)
+    kps = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:n], kps)
+    return kps
 
 
 def _pair_solve(key, kp_l_prev: Keypoints, kp_r_prev: Keypoints,

@@ -155,3 +155,22 @@ def test_latency_trace(tmp_path):
     assert lines[0] == "detect,match,solve,total"
     assert len(lines) == 3
     assert "sp_mbv1_2_120_392_FP32_seq_0.csv" in tr.path
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from spsvo_tpu.models import zoo
+    from spsvo_tpu.training import init_train_state
+    from spsvo_tpu.utils.checkpoint import (restore_train_state,
+                                            save_train_state)
+    apply_fn, params = zoo.load_model("sp_resnet18", seed=1)
+    state = init_train_state(apply_fn, params)
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, state)
+    template = init_train_state(apply_fn, zoo.load_model("sp_resnet18",
+                                                         seed=2)[1])
+    restored = restore_train_state(path, template)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
