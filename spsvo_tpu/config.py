@@ -66,10 +66,13 @@ class SelectorType(enum.Enum):
 
 class Precision(enum.Enum):
     """Compute precision of the CNN trunk. FP32/BF16 mirror the reference's
-    TensorRT FP32/FP16 engine grid (reference feature_detection.hpp:240-251)."""
+    TensorRT FP32/FP16 engine grid (reference feature_detection.hpp:240-251);
+    INT8 is post-training weight+activation quantization on the int8 MXU
+    path (beyond the reference's grid)."""
 
     FP32 = "FP32"
     BF16 = "BF16"
+    INT8 = "INT8"
 
     @property
     def suffix(self) -> str:

@@ -246,18 +246,23 @@ def build_params(graph: OnnxGraph) -> Dict[str, np.ndarray]:
     return params
 
 
-def _conv(x, w, b, node: OnnxNode, compute_dtype):
+def _conv(x, w, b, node: OnnxNode, compute_dtype, w_scale=None):
     pads = node.attr("pads", [0, 0, 0, 0])
     strides = [int(s) for s in node.attr("strides", [1, 1])]
     dilations = [int(d) for d in node.attr("dilations", [1, 1])]
     groups = int(node.attr("group", 1))
     padding = ((int(pads[0]), int(pads[2])), (int(pads[1]), int(pads[3])))
-    y = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype), w.astype(compute_dtype),
-        window_strides=strides, padding=padding, rhs_dilation=dilations,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32)
+    if w.dtype == jnp.int8:
+        from spsvo_tpu.models.quantize import int8_conv
+        y = int8_conv(x.astype(jnp.float32), w, w_scale, strides, padding,
+                      dilations, groups)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x.astype(compute_dtype), w.astype(compute_dtype),
+            window_strides=strides, padding=padding, rhs_dilation=dilations,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b.astype(jnp.float32)
     return y
@@ -332,7 +337,9 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32):
             if node.op == "Conv":
                 w = params[node.inputs[1]]
                 b = params.get(node.inputs[2]) if len(node.inputs) > 2 else None
-                y = _conv(get(node.inputs[0]), w, b, node, compute_dtype)
+                w_scale = params.get(f"{node.inputs[1]}#scale")
+                y = _conv(get(node.inputs[0]), w, b, node, compute_dtype,
+                          w_scale)
             elif node.op == "Relu":
                 y = jnp.maximum(get(node.inputs[0]), 0)
             elif node.op == "Clip":

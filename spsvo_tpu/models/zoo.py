@@ -30,8 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spsvo_tpu.models.onnx_import import (OnnxGraph, OnnxNode, load_onnx_model,
-                                          make_apply)
+from spsvo_tpu.models.onnx_import import OnnxGraph, OnnxNode, make_apply
 
 REFERENCE_MODELS_DIR = "/root/reference/src/odml_visual_odometry/models"
 BUNDLED_ONNX = {"sp_mbv1", "sp_mbv2", "sp_squeeze"}
@@ -241,28 +240,37 @@ def weights_dir() -> str:
 
 
 def load_model(prefix: str, compute_dtype=jnp.float32, seed: int = 0,
-               models_dir: Optional[str] = None):
+               models_dir: Optional[str] = None, int8: bool = False):
     """Load a model family by its reference prefix.
 
     Returns (apply_fn, params). apply_fn(params, x_nhwc) ->
     {"output_det": (B,Hc,Wc,65), "output_desc": (B,Hc,Wc,256)}.
+    `int8=True` post-training-quantizes the conv trunk (weights
+    per-channel int8, activations dynamic per-tensor, int8 MXU path).
     """
     if prefix in BUNDLED_ONNX:
         d = models_dir or REFERENCE_MODELS_DIR
         path = os.path.join(d, f"{prefix}_b1.onnx")
-        return load_onnx_model(path, compute_dtype)
-
-    if prefix not in _BUILDERS:
-        raise KeyError(f"unknown model prefix {prefix!r}; "
-                       f"known: {ALL_PREFIXES}")
-    builder = _BUILDERS[prefix]()
-    graph = builder.build()
-    npz = os.path.join(weights_dir(), f"{prefix}.npz")
-    if os.path.exists(npz):
-        data = np.load(npz)
-        params = {k: jnp.asarray(data[k]) for k in data.files}
+        from spsvo_tpu.models.onnx_import import parse_onnx, build_params
+        graph = parse_onnx(path)
+        params = {k: jnp.asarray(v)
+                  for k, v in build_params(graph).items()}
     else:
-        params = builder.init_params(jax.random.PRNGKey(seed))
+        if prefix not in _BUILDERS:
+            raise KeyError(f"unknown model prefix {prefix!r}; "
+                           f"known: {ALL_PREFIXES}")
+        builder = _BUILDERS[prefix]()
+        graph = builder.build()
+        npz = os.path.join(weights_dir(), f"{prefix}.npz")
+        if os.path.exists(npz):
+            data = np.load(npz)
+            params = {k: jnp.asarray(data[k]) for k in data.files}
+        else:
+            params = builder.init_params(jax.random.PRNGKey(seed))
+    if int8:
+        from spsvo_tpu.models.quantize import quantize_weights
+        conv_names = {n.inputs[1] for n in graph.nodes if n.op == "Conv"}
+        params = quantize_weights(params, conv_names)
     return make_apply(graph, compute_dtype), params
 
 

@@ -209,8 +209,9 @@ class VisualOdometry:
         if apply_fn is None:
             compute_dtype = (jnp.bfloat16 if cfg.precision == Precision.BF16
                              else jnp.float32)
-            apply_fn, loaded = zoo.load_model(cfg.model_name_prefix,
-                                              compute_dtype)
+            apply_fn, loaded = zoo.load_model(
+                cfg.model_name_prefix, compute_dtype,
+                int8=(cfg.precision == Precision.INT8))
             params = params if params is not None else loaded
         self.apply_fn = apply_fn
         self.params = params

@@ -102,3 +102,29 @@ def test_gradients_finite_on_dead_activations():
 
     g = jax.grad(loss)(params, jnp.zeros((1, 48, 64, 1), jnp.float32))
     assert all(bool(jnp.all(jnp.isfinite(v))) for v in jax.tree.leaves(g))
+
+
+def test_int8_quantized_trunk_accuracy(rng):
+    """Post-training int8 (per-channel weights, dynamic activations) must
+    stay close to the fp32 trunk on real weights."""
+    x = rng.random((1, 1, 120, 392), np.float64).astype(np.float32)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    a32, p32 = zoo.load_model("sp_mbv1")
+    a8, p8 = zoo.load_model("sp_mbv1", int8=True)
+    # weights actually quantized
+    n_int8 = sum(1 for v in p8.values() if v.dtype == jnp.int8)
+    assert n_int8 >= 15
+    o32 = jax.jit(a32)(p32, xj)
+    o8 = jax.jit(a8)(p8, xj)
+    d32 = np.asarray(o32["output_desc"]).reshape(-1, 256)
+    d8 = np.asarray(o8["output_desc"]).reshape(-1, 256)
+    cos = (d32 * d8).sum(-1)
+    assert np.percentile(cos, 5) > 0.95, np.percentile(cos, [1, 5, 50])
+    # detector heatmaps must select overlapping peaks
+    from spsvo_tpu.ops.postprocess import heatmap_from_logits
+    h32 = np.asarray(heatmap_from_logits(o32["output_det"]))[0]
+    h8 = np.asarray(heatmap_from_logits(o8["output_det"]))[0]
+    top32 = set(map(tuple, np.argwhere(h32 > np.percentile(h32, 99.8))))
+    top8 = set(map(tuple, np.argwhere(h8 > np.percentile(h8, 99.8))))
+    inter = len(top32 & top8) / max(len(top32 | top8), 1)
+    assert inter > 0.5, inter
