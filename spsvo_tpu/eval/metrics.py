@@ -9,7 +9,7 @@ plus the standard ATE/RPE used by the integration tests.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

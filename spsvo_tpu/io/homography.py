@@ -16,8 +16,6 @@ the on-TPU data machinery for that recipe natively:
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ dataset needed); accuracy is validated in tests against the fp32 trunk
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

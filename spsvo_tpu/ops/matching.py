@@ -20,7 +20,7 @@ for binary descriptors via the {0,1}-matmul identity, also MXU-shaped.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ are almost never triggered, and the eval harness reports both modes.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -126,8 +126,10 @@ def _gate_scan(qs, ts, qs_raw, ts_raw, success, cfg: VOConfig):
         return ((q_pred, t_pred, frame_count + 1),
                 (q_out, t_out, use_pred))
 
+    # reference frame_count at the solve of pair i (frames i -> i+1) is i:
+    # it counts completed solves (feature_detection_base.cpp:396)
     init = (jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
-            jnp.zeros(3, jnp.float32), jnp.int32(1))
+            jnp.zeros(3, jnp.float32), jnp.int32(0))
     _, (q_out, t_out, gated) = jax.lax.scan(
         body, init, (qs, ts, qs_raw, ts_raw, success))
     return q_out, t_out, gated

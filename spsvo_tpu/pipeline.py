@@ -19,17 +19,14 @@ jitted step, scan-style: no Python-side mutation on the hot path.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import time
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from spsvo_tpu.config import Precision, SelectorType, VOConfig
-from spsvo_tpu.geometry import se3
 from spsvo_tpu.models import zoo
 from spsvo_tpu.ops import image as image_ops
 from spsvo_tpu.ops import matching, solver
@@ -142,9 +139,13 @@ def features_step(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
         m_stereo.idx, inter_idx, state.prev_stereo_map,
         cfg.stereo_threshold, cfg.min_disparity)
 
+    # the reference's frame counter increments only after each solve (first
+    # frame never solves), so its value at solve #N is N-1; ours counts every
+    # ingested frame — subtract 1 so the acceleration gate arms on the same
+    # frame (feature_detection_base.cpp:396, :251)
     res = solver.solve_stereo_odometry(
         key, chain, P_l, P_r, state.q_pred, state.t_pred,
-        state.frame_count, cfg)
+        state.frame_count - 1, cfg)
 
     identity = jnp.eye(4, dtype=jnp.float32)
     first = ~state.initialized

@@ -8,8 +8,6 @@ is_classic/is_jetson arguments.
 
 from __future__ import annotations
 
-import dataclasses
-
 from spsvo_tpu.config import (DescriptorType, DetectorType, MatcherType,
                               Precision, SelectorType, VOConfig)
 

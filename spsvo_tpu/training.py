@@ -19,7 +19,7 @@ backbone families can be (re)trained natively on TPU:
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,6 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from spsvo_tpu.config import VOConfig
 
 
 class TrainState(NamedTuple):

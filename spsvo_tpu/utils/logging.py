@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 import sys
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 _LOGGER_NAME = "spsvo_tpu"
 

@@ -115,3 +115,34 @@ def test_extract_keypoints_end_to_end_shapes(rng):
     assert kps.valid.dtype == bool
     n = int(kps.valid.sum())
     assert n > 0
+
+
+def test_nms_parity_on_real_model_heatmap(sample_image_dir):
+    """Greedy-NMS parity check on a REAL sp_mbv1 heatmap from a real KITTI
+    frame (the synthetic test uses random sparse peaks; real heatmaps have
+    clustered responses where suppression chains actually occur)."""
+    import os
+
+    import cv2
+
+    from spsvo_tpu.models import zoo
+    from spsvo_tpu.ops.image import preprocess_image_np
+    img = cv2.imread(os.path.join(sample_image_dir, "0000000000.png"),
+                     cv2.IMREAD_GRAYSCALE)
+    x = preprocess_image_np(img, 120, 392)[None, ..., None]
+    apply_fn, params = zoo.load_model("sp_mbv1")
+    out = apply_fn(params, jnp.asarray(x))
+    heat = np.asarray(pp.heatmap_from_logits(out["output_det"]))[0]
+
+    conf, r, border, K = 0.015, 4, 4, 1000
+    ref_xy, _ = oracle.greedy_nms_np(heat, conf, r, border, K)
+    masked = jnp.where(jnp.asarray(heat)[None] > conf,
+                       jnp.asarray(heat)[None], 0.0)
+    sup = pp.nms(masked, r, iterations=2)
+    xy, score, valid = pp.select_topk(sup, K, conf, border)
+    ours = {tuple(p) for p in np.asarray(xy[0])[np.asarray(valid[0])]}
+    ref = {tuple(p) for p in ref_xy}
+    inter = len(ours & ref)
+    union = max(len(ours | ref), 1)
+    assert len(ref) > 100  # the frame should yield plenty of keypoints
+    assert inter / union > 0.85, f"overlap {inter}/{union}"
