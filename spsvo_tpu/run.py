@@ -37,6 +37,9 @@ def cmd_eval(args) -> int:
     cfg = PRESETS[args.preset]()
     if args.model:
         cfg = dataclasses.replace(cfg, model_name_prefix=args.model)
+    if not args.sample_images and args.kitti_root is None:
+        print("need --kitti-root or --sample-images", file=sys.stderr)
+        return 2
     vo = _build_vo(cfg)
 
     if args.sample_images:

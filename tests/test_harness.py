@@ -95,3 +95,16 @@ def test_run_sweep_records_errors_and_results(tmp_path, monkeypatch):
     assert "fps" in results[0]
     assert "error" in results[1]
     assert json.load(open(out_json)) == results
+
+
+def test_cli_compile_sweep_filter_no_match(capsys):
+    from spsvo_tpu import run as run_mod
+    rc = run_mod.main(["--compile-sweep", "--filter", "no_such_config"])
+    assert rc == 0
+    assert "0 compiled" in capsys.readouterr().out
+
+
+def test_cli_requires_data_source(capsys):
+    from spsvo_tpu import run as run_mod
+    rc = run_mod.main(["--preset", "flagship_tpu"])
+    assert rc == 2
