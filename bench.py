@@ -101,7 +101,7 @@ def main():
     t0 = time.perf_counter()
     batch_fn = build_batch_vo(apply_fn, cfg, mesh)
     fps, diags = _measure(batch_fn, (params, images, P_l_j, P_r_j, key),
-                          N_FRAMES)
+                          N_FRAMES, reps=6)
     log(f"throughput fp32: {fps:.1f} FPS "
         f"(compile+3 reps {time.perf_counter()-t0:.0f}s, "
         f"mean inliers {np.asarray(diags['num_inliers']).mean():.0f})")
