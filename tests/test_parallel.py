@@ -92,6 +92,27 @@ def test_graft_entry_contract():
 
 
 @pytest.mark.slow
+def test_dryrun_multichip_in_driver_environment():
+    """The driver invokes dryrun_multichip in a fresh process with the axon
+    sitecustomize active (jax preloaded, TPU plugin bound) and NO test env
+    overrides — the entry must self-configure a virtual CPU mesh
+    (MULTICHIP_r01.json failed exactly here: libtpu bind before any sharding
+    code ran)."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(4); print('MC_OK')"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=580)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MC_OK" in proc.stdout
+
+
+@pytest.mark.slow
 def test_batch_vo_matches_online_on_synthetic(rng):
     """Offline frame-parallel mode must reproduce the online trajectory on
     clean data (gates quiet, priors irrelevant)."""
