@@ -118,9 +118,9 @@ def main():
     # ---- aux: bf16 trunk (the reference's FP16-engine counterpart) -------
     try:
         cfg16 = dataclasses.replace(cfg, precision=Precision.BF16)
-        apply16, _ = zoo.load_model(cfg.model_name_prefix, jnp.bfloat16)
+        apply16, params16 = zoo.load_model(cfg.model_name_prefix, jnp.bfloat16)
         b16 = build_batch_vo(apply16, cfg16, mesh)
-        fps16, _ = _measure(b16, (params, images, P_l_j, P_r_j, key),
+        fps16, _ = _measure(b16, (params16, images, P_l_j, P_r_j, key),
                             N_FRAMES, reps=2)
         log(f"throughput bf16: {fps16:.1f} FPS")
     except Exception as e:

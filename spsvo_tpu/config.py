@@ -118,7 +118,7 @@ class VOConfig:
     refinement_degree: int = 4        # 0..4 factor schedule for LM refinement
     ransac_iterations: int = 500      # reference solvePnPRansac iterations
     ransac_reproj_threshold: float = 2.0   # px
-    ransac_confidence: float = 0.999
+    ransac_confidence: float = 0.999  # adaptive early-exit bound; >=1 = off
     ransac_min_inliers: int = 6       # below this, PnP is declared failed
     lm_max_iterations: int = 40       # reference Ceres max_num_iterations
     huber_delta: float = 1.0          # reference HuberLoss(1.0)

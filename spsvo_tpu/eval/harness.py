@@ -111,7 +111,7 @@ def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
     start = kitti.KITTI_EVAL_START_FRAME[kitti_eval_id]
     end = kitti.KITTI_EVAL_END_FRAME[kitti_eval_id]
     if max_frames is not None:
-        end = min(end, start + max_frames)
+        end = min(end, start + max_frames - 1)  # `end` is inclusive
     seq = kitti.KittiOdometrySequence(
         kitti_root, f"{kitti_eval_id:02d}", start=start,
         end=None if end >= 2**31 - 1 else end + 1)

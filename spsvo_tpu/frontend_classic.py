@@ -114,6 +114,7 @@ class ClassicVisualOdometry:
         self.world_T_cam = np.eye(4, dtype=np.float64)
         self.last_valid_T = np.eye(4, dtype=np.float64)
         self.trajectory: list[np.ndarray] = []
+        self._frame_idx = 0  # host-side counter: no device sync for the key
 
     def _detect(self, img: np.ndarray) -> Keypoints:
         kps = self.detector.detect(img, None)
@@ -145,7 +146,10 @@ class ClassicVisualOdometry:
                 P_r, h0, w0, cfg.image_height, cfg.image_width)
         kp_l = self._detect(img_l)
         kp_r = self._detect(img_r)
-        key = jax.random.fold_in(self._key, int(self.state.frame_count))
+        # host-side counter (mirrors pipeline.VisualOdometry): reading
+        # state.frame_count back would cost a ~50-100 ms device fetch/frame
+        key = jax.random.fold_in(self._key, self._frame_idx)
+        self._frame_idx += 1
         self.state, out = self._step(
             self.state, kp_l, kp_r, jnp.asarray(P_l, jnp.float32),
             jnp.asarray(P_r, jnp.float32), key)

@@ -108,8 +108,15 @@ void worker_loop(Loader* L) {
       preprocess_into(img_r, L->dst_h, L->dst_w, L->normalize,
                       slot.data.data() + frame_bytes);
     }
-    slot.frame_idx.store(idx, std::memory_order_release);
-    slot.ready.store(true, std::memory_order_release);
+    // publish under the mutex: a waiter checks the predicate while holding
+    // the lock, so a store made inside it can never slip into the waiter's
+    // check-then-block window (missed-wakeup race on the final in-flight
+    // frame otherwise).
+    {
+      std::lock_guard<std::mutex> lk(L->mu);
+      slot.frame_idx.store(idx, std::memory_order_release);
+      slot.ready.store(true, std::memory_order_release);
+    }
     L->cv_ready.notify_all();
   }
 }
@@ -152,15 +159,23 @@ int64_t spsvo_loader_next(void* handle, float* out) {
   }
   if (L->stop.load(std::memory_order_acquire)) return -1;
   std::memcpy(out, slot.data.data(), slot.data.size() * sizeof(float));
-  slot.ready.store(false, std::memory_order_release);
-  L->next_to_consume.fetch_add(1, std::memory_order_acq_rel);
+  {
+    // see worker_loop: predicate state must change under the mutex so a
+    // worker blocked in cv_free.wait cannot miss the wakeup.
+    std::lock_guard<std::mutex> lk(L->mu);
+    slot.ready.store(false, std::memory_order_release);
+    L->next_to_consume.fetch_add(1, std::memory_order_acq_rel);
+  }
   L->cv_free.notify_all();
   return idx;
 }
 
 void spsvo_loader_destroy(void* handle) {
   auto* L = static_cast<Loader*>(handle);
-  L->stop.store(true, std::memory_order_release);
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->stop.store(true, std::memory_order_release);
+  }
   L->cv_ready.notify_all();
   L->cv_free.notify_all();
   for (auto& t : L->workers) t.join();

@@ -30,6 +30,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from spsvo_tpu.geometry import se3
 from spsvo_tpu.ops.triangulation import project
@@ -41,6 +42,7 @@ class PnPResult(NamedTuple):
     inliers: jax.Array    # (K,) bool
     num_inliers: jax.Array  # scalar int32
     success: jax.Array    # scalar bool
+    n_hypotheses: jax.Array  # scalar int32: evaluated before adaptive exit
 
 
 def _horn(src: jax.Array, dst: jax.Array, w: jax.Array, iters: int = 16
@@ -105,7 +107,8 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
                 pts2d_prev: jax.Array, valid: jax.Array, P_l: jax.Array,
                 q_prior: jax.Array, t_prior: jax.Array, *,
                 iterations: int = 500, reproj_threshold: float = 2.0,
-                min_inliers: int = 6) -> PnPResult:
+                min_inliers: int = 6, confidence: float = 0.999,
+                chunk: int = 64) -> PnPResult:
     """RANSAC over 3-point rigid hypotheses, scored by 2D reprojection.
 
     pts3d_curr: (K, 3) triangulated in the current left-cam frame.
@@ -114,36 +117,74 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
     valid:      (K,) chain-filter mask.
     P_l:        (3, 4) left projection matrix (current intrinsics).
     q/t_prior:  constant-velocity prior, injected as an extra hypothesis.
+    confidence: adaptive-termination confidence (the reference's 0.999 arg to
+        cv::solvePnPRansac, feature_detection_base.cpp:237-239). Hypotheses
+        are evaluated in batched chunks inside a while_loop; the search stops
+        once n_processed >= log(1-confidence)/log(1-eps^3) with eps the best
+        inlier ratio so far — the standard adaptive bound, vectorised chunk-
+        wise instead of per-sample. confidence >= 1 disables early exit
+        (all `iterations` hypotheses are always scored).
     """
-    K = pts3d_curr.shape[0]
-    k_samp, _ = jax.random.split(key)
-    idx = _sample_indices(k_samp, valid, iterations, 3)   # (S, 3)
-
-    src = pts3d_curr[idx]                                  # (S, 3, 3)
-    dst = pts3d_prev[idx]
-    w = jnp.ones(idx.shape, jnp.float32)
-    q_h, t_h = _horn(src, dst, w)                          # (S,4), (S,3)
-    R_h = se3.quat_to_matrix(q_h)
-
-    # prior hypothesis lane
-    R_p = se3.quat_to_matrix(q_prior)
-    R_all = jnp.concatenate([R_h, R_p[None]], axis=0)
-    t_all = jnp.concatenate([t_h, t_prior[None]], axis=0)
-
-    # score: reproject all K current points into prev-left for each hypothesis
-    Xp = jnp.einsum("sij,kj->ski", R_all, pts3d_curr) + t_all[:, None, :]
-    Xh = jnp.concatenate([Xp, jnp.ones_like(Xp[..., :1])], axis=-1)
-    uvw = jnp.einsum("ij,skj->ski", P_l.astype(jnp.float32), Xh)
-    z = uvw[..., 2:3]
-    uv = uvw[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-    err2 = jnp.sum((uv - pts2d_prev[None]) ** 2, axis=-1)  # (S+1, K)
     thr2 = reproj_threshold * reproj_threshold
-    inl = (err2 < thr2) & valid[None] & (Xp[..., 2] > 0)
-    counts = jnp.sum(inl, axis=-1)                          # (S+1,)
+    P32 = P_l.astype(jnp.float32)
 
-    best = jnp.argmax(counts)
-    best_inl = inl[best]
-    R_best, t_best = R_all[best], t_all[best]
+    def score(R, t):
+        """R: (..., 3, 3), t: (..., 3) -> inlier mask (..., K)."""
+        Xp = jnp.einsum("...ij,kj->...ki", R, pts3d_curr) + t[..., None, :]
+        Xh = jnp.concatenate([Xp, jnp.ones_like(Xp[..., :1])], axis=-1)
+        uvw = jnp.einsum("ij,...kj->...ki", P32, Xh)
+        z = uvw[..., 2:3]
+        uv = uvw[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)
+        return (err2 < thr2) & valid & (Xp[..., 2] > 0)
+
+    chunk = min(chunk, iterations)
+    n_chunks = -(-iterations // chunk)
+    k_samp, _ = jax.random.split(key)
+    idx = _sample_indices(k_samp, valid, n_chunks * chunk, 3)  # (S', 3)
+
+    # seed the search with the constant-velocity prior lane
+    # (useExtrinsicGuess=true at reference :232-239)
+    R_prior = se3.quat_to_matrix(q_prior)
+    inl_prior = score(R_prior, t_prior)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+
+    def n_required(best_count):
+        """Adaptive hypothesis budget for the current best inlier ratio."""
+        eps = best_count.astype(jnp.float32) / n_valid.astype(jnp.float32)
+        w3 = jnp.clip(eps**3, 1e-9, 1.0 - 1e-9)
+        num = float(np.log(max(1.0 - confidence, 1e-12)))
+        return num / jnp.log1p(-w3)
+
+    def cond(carry):
+        i, best_count, _, _, _ = carry
+        done_budget = i * chunk >= iterations
+        if confidence >= 1.0:
+            return ~done_budget
+        return ~done_budget & ((i * chunk).astype(jnp.float32)
+                               < n_required(best_count))
+
+    def body(carry):
+        i, best_count, R_b, t_b, inl_b = carry
+        ids = jax.lax.dynamic_slice_in_dim(idx, i * chunk, chunk)  # (C, 3)
+        src = pts3d_curr[ids]                                       # (C, 3, 3)
+        dst = pts3d_prev[ids]
+        q_h, t_h = _horn(src, dst, jnp.ones(ids.shape, jnp.float32))
+        R_h = se3.quat_to_matrix(q_h)
+        inl = score(R_h, t_h)                                       # (C, K)
+        counts = jnp.sum(inl, axis=-1)
+        j = jnp.argmax(counts)
+        better = counts[j] > best_count   # strict: earliest best wins ties
+        best_count = jnp.where(better, counts[j], best_count)
+        R_b = jnp.where(better, R_h[j], R_b)
+        t_b = jnp.where(better, t_h[j], t_b)
+        inl_b = jnp.where(better, inl[j], inl_b)
+        return i + 1, best_count, R_b, t_b, inl_b
+
+    init = (jnp.int32(0), jnp.sum(inl_prior), R_prior,
+            t_prior.astype(jnp.float32), inl_prior)
+    n_done, _, R_best, t_best, best_inl = jax.lax.while_loop(cond, body, init)
+    n_hypotheses = n_done * chunk
 
     # local optimisation: weighted Kabsch re-fit on inliers, then recount —
     # two rounds, the batched analogue of USAC's LO step.
@@ -188,4 +229,5 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
     num = jnp.sum(best_inl)
     success = num >= min_inliers
     return PnPResult(q=q, t=t, inliers=best_inl,
-                     num_inliers=num.astype(jnp.int32), success=success)
+                     num_inliers=num.astype(jnp.int32), success=success,
+                     n_hypotheses=n_hypotheses.astype(jnp.int32))

@@ -60,6 +60,7 @@ class SolveResult(NamedTuple):
     pnp_success: jax.Array
     accel_anomaly: jax.Array
     lm_improved: jax.Array
+    n_ransac_hypotheses: jax.Array   # evaluated before adaptive exit
 
 
 def build_chain(xy_curr_l, xy_curr_r, valid_curr_l, valid_curr_r,
@@ -106,7 +107,8 @@ def solve_stereo_odometry(key: jax.Array, inputs: SolveInputs,
         key, pts3d_curr, pts3d_prev, inputs.xy_prev_l, chain, P_l,
         q_pred, t_pred, iterations=cfg.ransac_iterations,
         reproj_threshold=cfg.ransac_reproj_threshold,
-        min_inliers=cfg.ransac_min_inliers)
+        min_inliers=cfg.ransac_min_inliers,
+        confidence=cfg.ransac_confidence)
 
     # acceleration anomaly gate (reference :241-260)
     accel = jnp.linalg.norm(res.t - t_pred) / cfg.time_interval
@@ -145,4 +147,4 @@ def solve_stereo_odometry(key: jax.Array, inputs: SolveInputs,
         num_chain=jnp.sum(chain).astype(jnp.int32),
         num_inliers=res.num_inliers,
         pnp_success=res.success, accel_anomaly=accel_anomaly,
-        lm_improved=lm_improved)
+        lm_improved=lm_improved, n_ransac_hypotheses=res.n_hypotheses)

@@ -170,6 +170,7 @@ def features_step(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
         "pnp_success": res.pnp_success,
         "accel_anomaly": res.accel_anomaly,
         "lm_improved": res.lm_improved,
+        "n_ransac_hypotheses": res.n_ransac_hypotheses,
     }
     out = VOStepOutput(
         T_curr_prev=T, keypoints_left=kp_l, keypoints_right=kp_r,
@@ -290,7 +291,7 @@ class VisualOdometry:
         cfg = self.cfg
 
         if not hasattr(self, "_chunk_scan"):
-            def chunk_scan(params, state, images, P_l, P_r, key):
+            def chunk_scan(params, state, images, real, P_l, P_r, key):
                 if images.dtype == jnp.uint8:
                     # bandwidth-conscious feed: frames travel as uint8 (4x
                     # less host->device traffic) and are normalised on
@@ -300,12 +301,16 @@ class VisualOdometry:
                 keys = jax.random.split(key, images.shape[0])
 
                 def body(st, xs):
-                    imgs, k = xs
-                    st, out = vo_step(params, st, imgs, P_l, P_r, k,
-                                      apply_fn=self.apply_fn, cfg=cfg)
-                    return st, out.T_curr_prev
+                    imgs, k, is_real = xs
+                    st2, out = vo_step(params, st, imgs, P_l, P_r, k,
+                                       apply_fn=self.apply_fn, cfg=cfg)
+                    # tail-padding frames must not advance the carried state
+                    # (window, prior, frame counter): revert them wholesale
+                    st2 = jax.tree.map(
+                        lambda a, b: jnp.where(is_real, a, b), st2, st)
+                    return st2, out.T_curr_prev
 
-                return jax.lax.scan(body, state, (images, keys))
+                return jax.lax.scan(body, state, (images, keys, real))
 
             self._chunk_scan = jax.jit(chunk_scan, donate_argnums=(1,))
 
@@ -319,10 +324,11 @@ class VisualOdometry:
                 return []
             idxs = [i for i, _ in buf]
             imgs = jnp.asarray(np.stack([f for _, f in buf]))
+            real = jnp.asarray(np.array([i >= 0 for i in idxs]))
             key = jax.random.fold_in(self._key, self._frame_idx)
             self._frame_idx += 1
             self.state, T_seq = self._chunk_scan(
-                self.params, self.state, imgs, P_l_j, P_r_j, key)
+                self.params, self.state, imgs, real, P_l_j, P_r_j, key)
             out = []
             for i, T in zip(idxs, np.asarray(T_seq, dtype=np.float64)):
                 if i < 0:
@@ -350,12 +356,11 @@ class VisualOdometry:
             buf.append((idx, frame))
             if len(buf) == chunk:
                 yield from flush()
-        # trailing partial chunk: pad to `chunk` to reuse the compiled scan,
-        # then drop the padded outputs (padding frames still advance the
-        # device state, so snapshot and restore it around the flush)
+        # trailing partial chunk: pad to `chunk` to reuse the compiled scan;
+        # padded lanes carry real=False, so the scan reverts their state
+        # update and drops their outputs — `state` afterwards is exactly the
+        # state after the last real frame (streaming may continue).
         if buf:
             while len(buf) < chunk:
                 buf.append((-1, buf[-1][1]))  # duplicate-last padding
             yield from flush()
-            # note: padded frames advance the carried device state; callers
-            # reset() between sequences (same contract as `process`)

@@ -214,3 +214,44 @@ def test_project_matches_cv2(rng):
     tvec = np.zeros(3)
     ref, _ = cv2.projectPoints(pts, rvec, tvec, P_L[:, :3], None)
     np.testing.assert_allclose(ours, ref[:, 0, :], rtol=1e-4, atol=1e-2)
+
+
+def test_ransac_adaptive_early_exit(rng):
+    """With low-noise data the best hypothesis has a high inlier ratio, so
+    the adaptive bound (log(1-p)/log(1-eps^3)) is small: a couple of chunks
+    satisfy confidence=0.999, while confidence>=1 burns the full budget."""
+    data, R, t = _vo_frame(rng, n=250, outlier_frac=0.0, noise=0.1)
+    args = (jnp.asarray(data["pts3d_curr"]), jnp.asarray(data["pts3d_prev"]),
+            jnp.asarray(data["uv_prev_l"]), jnp.asarray(data["valid"]),
+            jnp.asarray(P_L, jnp.float32),
+            jnp.array([0., 0., 0., 1.], jnp.float32),
+            jnp.zeros(3, jnp.float32))
+    res_a = pnp.ransac_pose(jax.random.PRNGKey(0), *args, iterations=512,
+                            confidence=0.999, chunk=64)
+    res_f = pnp.ransac_pose(jax.random.PRNGKey(0), *args, iterations=512,
+                            confidence=1.0, chunk=64)
+    assert int(res_a.n_hypotheses) <= 192  # early exit
+    assert int(res_f.n_hypotheses) == 512  # exhaustive when conf >= 1
+    # both must recover the pose to the same quality
+    for res in (res_a, res_f):
+        ang, terr = _pose_error(res.q, res.t, R, t)
+        assert ang < 0.005 and terr < 0.05, (ang, terr)
+
+
+def test_ransac_adaptive_quality_with_outliers(rng):
+    """35% outliers: adaptive termination must not degrade the solution
+    relative to the full fixed budget."""
+    data, R, t = _vo_frame(rng, n=300, outlier_frac=0.35, noise=0.1)
+    args = (jnp.asarray(data["pts3d_curr"]), jnp.asarray(data["pts3d_prev"]),
+            jnp.asarray(data["uv_prev_l"]), jnp.asarray(data["valid"]),
+            jnp.asarray(P_L, jnp.float32),
+            jnp.array([0., 0., 0., 1.], jnp.float32),
+            jnp.zeros(3, jnp.float32))
+    res = pnp.ransac_pose(jax.random.PRNGKey(3), *args, iterations=512,
+                          confidence=0.999, chunk=64)
+    assert bool(res.success)
+    # a clean-sample hypothesis scores most true inliers at this noise level,
+    # so the adaptive budget collapses to a few chunks
+    assert int(res.n_hypotheses) <= 256
+    ang, terr = _pose_error(res.q, res.t, R, t)
+    assert ang < 0.01 and terr < 0.1, (ang, terr)

@@ -52,3 +52,26 @@ def test_make_loader_returns_working_loader(png_dir):
     out = list(loader)
     assert len(out) == 2
     assert out[0][1].dtype == np.float32
+
+
+def test_native_loader_stress_small_ring(png_dir):
+    """Hammer the check-then-block windows the round-1 race lived in: a
+    2-slot ring with more workers than slots, many sequential drains — a
+    missed wakeup deadlocks the final in-flight frame."""
+    import concurrent.futures
+
+    paths = png_dir * 5  # 30 frames through a 2-slot ring
+    try:
+        NativeStereoLoader(png_dir[:1], png_dir[:1], 24, 80)
+    except RuntimeError:
+        pytest.skip("native toolchain unavailable")
+
+    def drain(seed):
+        loader = NativeStereoLoader(paths, paths, 24, 80,
+                                    queue_capacity=2, num_threads=4)
+        return [idx for idx, _ in loader]
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        futs = [ex.submit(drain, i) for i in range(8)]
+        for f in futs:
+            assert f.result(timeout=60) == list(range(len(paths)))

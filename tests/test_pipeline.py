@@ -119,3 +119,45 @@ def test_process_stream_matches_process(rng):
     t_stream = vo_stream.current_pose()[:3, 3]
     t_ref = vo_ref.current_pose()[:3, 3]
     np.testing.assert_allclose(t_stream, t_ref, atol=0.08)
+
+
+@pytest.mark.slow
+def test_process_stream_padded_tail_preserves_state(rng):
+    """Padded tail-chunk frames must not advance the carried device state
+    (VERDICT r1 weak #4): after streaming 5 frames with chunk=16 (11 padded
+    lanes), state must equal the state after frame 5, and streaming may
+    continue seamlessly."""
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
+    frames, poses, P_l, P_r = _synthetic_sequence(rng, n_frames=8)
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=64, max_keypoints=128)
+    h0, w0 = frames[0][0].shape
+    P_l2 = update_projection_matrix_np(P_l, h0, w0, 120, 392)
+    P_r2 = update_projection_matrix_np(P_r, h0, w0, 120, 392)
+    pre = [np.stack([preprocess_image_np(il, 120, 392),
+                     preprocess_image_np(ir, 120, 392)])
+           for il, ir in frames]
+
+    vo = VisualOdometry(cfg)
+    outs = list(vo.process_stream(iter(pre[:5]), P_l2, P_r2, chunk=16))
+    assert [i for i, _ in outs] == list(range(5))
+    assert len(vo.trajectory) == 5
+    assert int(vo.state.frame_count) == 5  # not 16
+
+    # feature window must hold frame 5's features, not the padded replays';
+    # compare against an unpadded run of the same 5 frames (chunk=5)
+    vo_ref = VisualOdometry(cfg)
+    list(vo_ref.process_stream(iter(pre[:5]), P_l2, P_r2, chunk=5))
+    np.testing.assert_array_equal(np.asarray(vo.state.prev_left.xy),
+                                  np.asarray(vo_ref.state.prev_left.xy))
+    np.testing.assert_array_equal(np.asarray(vo.state.prev_stereo_map),
+                                  np.asarray(vo_ref.state.prev_stereo_map))
+
+    # continuing the same stream stays on-trajectory (state not polluted)
+    outs2 = list(vo.process_stream(
+        ((5 + j, f) for j, f in enumerate(pre[5:])), P_l2, P_r2, chunk=16))
+    assert [i for i, _ in outs2] == [5, 6, 7]
+    t_est = vo.current_pose()[:3, 3]
+    t_gt = poses[-1][:3, 3]
+    assert np.linalg.norm(t_est - t_gt) < 0.12 * np.linalg.norm(t_gt) + 0.06
