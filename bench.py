@@ -106,6 +106,22 @@ def main():
         f"(compile+3 reps {time.perf_counter()-t0:.0f}s, "
         f"mean inliers {np.asarray(diags['num_inliers']).mean():.0f})")
 
+    # ---- aux: reference-parity settings (VERDICT r1 #4) -------------------
+    # the reference runs 500 RANSAC iterations (feature_detection_base.cpp:
+    # 237-239) and caps keypoints at 1000 (feature_detection.hpp:368); the
+    # tuned headline uses 256/512. Measure the parity config too — the
+    # adaptive-confidence loop keeps the 500-iteration budget cheap.
+    try:
+        cfg_par = dataclasses.replace(cfg, ransac_iterations=500,
+                                      max_keypoints=1024)
+        par_fn = build_batch_vo(apply_fn, cfg_par, mesh)
+        fps_par, diags_par = _measure(
+            par_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES, reps=3)
+        log(f"throughput fp32 parity(ransac500,K1024): {fps_par:.1f} FPS "
+            f"(mean inliers {np.asarray(diags_par['num_inliers']).mean():.0f})")
+    except Exception as e:
+        log(f"parity aux run failed: {e}")
+
     # ---- aux: online-semantics sequential scan ---------------------------
     try:
         seq_fn = build_sequence_scan(apply_fn, cfg)

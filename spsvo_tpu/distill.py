@@ -1,0 +1,222 @@
+"""Dense distillation: give the LFS-stripped model families real weights.
+
+The reference ran engines for 6 backbone prefixes
+(scripts/engine_generation.py:25-31), but only sp_mbv1/mbv2/squeeze ONNX
+files survive in the checkout; superpoint_pretrained, sp_sparse and
+sp_resnet18 are LFS-stripped (.MISSING_LARGE_BLOBS). Their original weights
+are not obtainable here (no network egress), so this module trains those
+architectures to usefulness by distilling the imported sp_mbv1 teacher on
+real images — the reference's own retraining recipe (report §3) mapped to
+what the container has: the 22 bundled KITTI frames, diversified by random
+crops, homographies and photometric jitter on device.
+
+Distillation losses (per augmented image, student vs frozen teacher):
+  * detector: KL(teacher cell-softmax || student log-softmax) over the 65
+    channels — keeps the student's logits compatible with the pipeline's
+    postprocess thresholds;
+  * descriptor: 1 - cosine between the L2-normalised 256-d cell descriptors;
+  * optional L1 weight sparsity for the sp_sparse family (the report
+    describes it as the pretrained backbone retrained with sparsity
+    regularisation).
+
+Everything (augmentation, teacher forward, student update) is one jitted
+program; the host only logs scalars.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from spsvo_tpu.io.homography import sample_homography, warp_image
+from spsvo_tpu.models import zoo
+from spsvo_tpu.training import make_optimizer
+
+
+def load_sample_frames(img_dir: str, normalize: bool = True) -> np.ndarray:
+    """All frames in a directory as (N, H, W) float32 in [0, 1]."""
+    import os
+
+    import cv2
+    files = sorted(f for f in os.listdir(img_dir)
+                   if f.endswith((".png", ".jpg")))
+    imgs = [cv2.imread(os.path.join(img_dir, f), cv2.IMREAD_GRAYSCALE)
+            for f in files]
+    arr = np.stack(imgs).astype(np.float32)
+    return arr / 255.0 if normalize else arr
+
+
+def augment_batch(key: jax.Array, frames: jax.Array, batch: int, h: int,
+                  w: int) -> jax.Array:
+    """(B, h, w, 1) augmented crops from full-resolution frames.
+
+    Per sample: random source frame, random crop, random homography warp
+    (scale/rotation/translation/perspective), brightness/contrast jitter,
+    additive noise.
+    """
+    n, H, W = frames.shape
+    ks = jax.random.split(key, 6)
+    fidx = jax.random.randint(ks[0], (batch,), 0, n)
+    y0 = jax.random.randint(ks[1], (batch,), 0, H - h + 1)
+    x0 = jax.random.randint(ks[2], (batch,), 0, W - w + 1)
+
+    def crop(fi, yy, xx):
+        return jax.lax.dynamic_slice(frames[fi], (yy, xx), (h, w))
+
+    crops = jax.vmap(crop)(fidx, y0, x0)                      # (B, h, w)
+
+    hkeys = jax.random.split(ks[3], batch)
+    Hs = jax.vmap(lambda k: sample_homography(
+        k, h, w, max_scale=0.15, max_translation=0.05,
+        max_rotation=0.15, max_perspective=0.0005))(hkeys)
+    warped = jax.vmap(lambda im, Hm: warp_image(im[..., None], Hm))(
+        crops, Hs)                                             # (B, h, w, 1)
+
+    bc = jax.random.uniform(ks[4], (batch, 1, 1, 1), minval=0.7, maxval=1.3)
+    br = jax.random.uniform(ks[5], (batch, 1, 1, 1), minval=-0.1, maxval=0.1)
+    out = jnp.clip(warped * bc + br, 0.0, 1.0)
+    return out
+
+
+def distill_loss(student_fn, s_params, teacher_det: jax.Array,
+                 teacher_desc: jax.Array, images: jax.Array,
+                 sparsity: float = 0.0) -> Tuple[jax.Array, Dict]:
+    out = student_fn(s_params, images)
+    # detector: KL(teacher || student) over the 65-way cell distribution
+    t_prob = jax.nn.softmax(teacher_det, axis=-1)
+    s_logp = jax.nn.log_softmax(out["output_det"], axis=-1)
+    l_det = jnp.mean(jnp.sum(t_prob * (jnp.log(t_prob + 1e-9) - s_logp),
+                             axis=-1))
+    # descriptor: cosine distance between unit vectors (both L2-normalised
+    # in-graph, mirroring the engines' ReduceL2+Div tail)
+    l_desc = jnp.mean(1.0 - jnp.sum(out["output_desc"] * teacher_desc,
+                                    axis=-1))
+    loss = l_det + l_desc
+    if sparsity > 0.0:
+        l1 = sum(jnp.sum(jnp.abs(v)) for k, v in s_params.items()
+                 if k.endswith(".weight") and v.ndim == 4)
+        nrm = sum(v.size for k, v in s_params.items()
+                  if k.endswith(".weight") and v.ndim == 4)
+        loss = loss + sparsity * l1 / nrm
+    return loss, {"det_kl": l_det, "desc_cos": l_desc}
+
+
+def build_distill_step(student_fn, teacher_fn, t_params, frames: jax.Array,
+                       batch: int, h: int, w: int, lr: float,
+                       sparsity: float = 0.0):
+    """One jitted distillation step: augment -> teacher forward (frozen) ->
+    student update. Returns step(carry=(params, opt_state), key)."""
+
+    def step(carry, key):
+        params, opt_state = carry
+        images = augment_batch(key, frames, batch, h, w)
+        t_out = teacher_fn(t_params, images)
+        t_det = jax.lax.stop_gradient(t_out["output_det"])
+        t_desc = jax.lax.stop_gradient(t_out["output_desc"])
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: distill_loss(student_fn, p, t_det, t_desc, images,
+                                   sparsity), has_aux=True)(params)
+        tx = make_optimizer(lr, params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux["loss"] = loss
+        return (params, opt_state), aux
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def keypoint_agreement(student_fn, s_params, teacher_fn, t_params,
+                       frames: np.ndarray, h: int, w: int, k: int = 512,
+                       conf_thresh: float = 0.015, radius: float = 2.0
+                       ) -> Dict[str, float]:
+    """Held-out validation: fraction of student keypoints within `radius` px
+    of a teacher keypoint (precision) and vice versa (recall), plus counts.
+    Uses the production postprocess so thresholds carry over."""
+    from spsvo_tpu.ops.image import preprocess_image_np
+    from spsvo_tpu.ops.postprocess import extract_keypoints
+
+    pre = np.stack([preprocess_image_np((f * 255).astype(np.uint8), h, w)
+                    for f in frames])
+    x = jnp.asarray(pre)[..., None]
+
+    def kps(fn, params):
+        out = fn(params, x)
+        return extract_keypoints(out["output_det"], out["output_desc"], k=k,
+                                 conf_thresh=conf_thresh, nms_radius=4,
+                                 border=4)
+
+    s = kps(student_fn, s_params)
+    t = kps(teacher_fn, t_params)
+    precs, recs, counts = [], [], []
+    for i in range(len(frames)):
+        sxy = np.asarray(s.xy[i])[np.asarray(s.valid[i])]
+        txy = np.asarray(t.xy[i])[np.asarray(t.valid[i])]
+        counts.append(len(sxy))
+        if len(sxy) == 0 or len(txy) == 0:
+            precs.append(0.0)
+            recs.append(0.0)
+            continue
+        d = np.linalg.norm(sxy[:, None] - txy[None], axis=-1)
+        precs.append(float((d.min(axis=1) <= radius).mean()))
+        recs.append(float((d.min(axis=0) <= radius).mean()))
+    return {"precision": float(np.mean(precs)),
+            "recall": float(np.mean(recs)),
+            "mean_keypoints": float(np.mean(counts))}
+
+
+def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
+            img_dir: str = ("/root/reference/src/odml_visual_odometry/"
+                            "sample_images"),
+            steps: int = 3000, batch: int = 16, h: int = 120, w: int = 392,
+            lr: float = 1e-3, seed: int = 0, holdout: int = 4,
+            log_every: int = 100, frames: Optional[np.ndarray] = None,
+            log=print) -> Tuple[Dict, List[Dict]]:
+    """Distill `student_prefix` from the ONNX-imported teacher.
+
+    Returns (student_params, history); history rows carry step/loss plus a
+    held-out keypoint-agreement checkpoint every 10*log_every steps.
+    """
+    sparsity = 1e-4 if student_prefix == "sp_sparse" else 0.0
+    teacher_fn, t_params = zoo.load_model(teacher_prefix)
+    builder = zoo._BUILDERS[student_prefix]()
+    graph = builder.build()
+    from spsvo_tpu.models.onnx_import import make_apply
+    student_fn = make_apply(graph, jnp.float32)
+    s_params = builder.init_params(jax.random.PRNGKey(seed))
+
+    all_frames = frames if frames is not None else load_sample_frames(img_dir)
+    train_frames = jnp.asarray(all_frames[:-holdout] if holdout else
+                               all_frames)
+    val_frames = all_frames[-holdout:] if holdout else all_frames[-2:]
+
+    lr_sched = optax.cosine_decay_schedule(lr, max(steps, 1), alpha=0.05)
+    tx = make_optimizer(lr_sched, s_params)
+    opt_state = tx.init(s_params)
+    step_fn = build_distill_step(student_fn, teacher_fn, t_params,
+                                 train_frames, batch, h, w, lr_sched,
+                                 sparsity)
+
+    history: List[Dict] = []
+    carry = (s_params, opt_state)
+    key = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        carry, aux = step_fn(carry, sub)
+        if i % log_every == 0 or i == steps - 1:
+            row = {"step": i, **{k: float(v) for k, v in aux.items()}}
+            if i % (10 * log_every) == 0 or i == steps - 1:
+                row.update(keypoint_agreement(
+                    student_fn, carry[0], teacher_fn, t_params, val_frames,
+                    h, w))
+            row["elapsed_s"] = round(time.time() - t0, 1)
+            history.append(row)
+            log(f"[{student_prefix}] " + " ".join(
+                f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in row.items()))
+    return carry[0], history

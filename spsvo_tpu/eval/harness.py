@@ -56,22 +56,32 @@ def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
                  latency_dir: Optional[str] = None,
                  machine_name: str = "tpu",
                  sequence_tag: str = "seq",
-                 verbose: bool = False) -> SequenceResult:
+                 verbose: bool = False,
+                 instrument_stages: bool = False) -> SequenceResult:
     """Run the online pipeline over a frame stream; optionally persist the
-    reference's artefacts (pose file + latency CSV)."""
+    reference's artefacts (pose file + latency CSV).
+
+    `instrument_stages=True` runs the stage-split programs so the CSV's
+    detect/match/solve columns carry real per-stage times (the reference's
+    4-column contract, visual_odometry_node.cpp:246-258); the default keeps
+    the fused single-dispatch program (stage columns zero, fused time in
+    `total`)."""
     vo.reset()
     latencies: List[Dict[str, float]] = []
     diags: List[Dict[str, float]] = []
     for i, (il, ir) in enumerate(frames):
         t0 = time.perf_counter()
-        T, info = vo.process(il, ir, P_l, P_r, want_diagnostics=verbose)
-        total = (time.perf_counter() - t0) * 1000.0
-        # single fused program: stage split is not observable per frame —
-        # report the reference's 4-column contract with the fused time in
-        # `total` (stage-level timing lives in utils.profiling traces).
-        latencies.append({"detect": 0.0, "match": 0.0, "solve": 0.0,
-                          "total": total})
-        if verbose:
+        if instrument_stages:
+            T, info = vo.process_instrumented(il, ir, P_l, P_r)
+            total = info["stages_ms"]["total"]
+            latencies.append(dict(info["stages_ms"]))
+        else:
+            T, info = vo.process(il, ir, P_l, P_r, want_diagnostics=verbose)
+            total = (time.perf_counter() - t0) * 1000.0
+            # fused single program: stage split not observable per frame
+            latencies.append({"detect": 0.0, "match": 0.0, "solve": 0.0,
+                              "total": total})
+        if verbose and not instrument_stages:
             diags.append({k: v for k, v in info.items() if k != "output"})
         if total > vo.cfg.latency_warn_ms:
             print(f"warning: frame {i} took {total:.1f} ms "
@@ -134,12 +144,17 @@ def score_against_ground_truth(poses: List[np.ndarray], gt_file: str
 def run_sweep(frames_fn, P_l: np.ndarray, P_r: np.ndarray,
               configs: Optional[List[VOConfig]] = None,
               out_json: str = "sweep_results.json",
-              max_frames: int = 50) -> List[Dict]:
-    """Latency sweep over the config grid (the reference's 72-engine grid).
+              max_frames: int = 50,
+              gt_poses: Optional[List[np.ndarray]] = None) -> List[Dict]:
+    """Latency + accuracy sweep over the config grid (the reference's
+    72-engine grid; its accuracy-vs-config study is report §4.2).
 
     `frames_fn() -> iterable of (img_l, img_r)`; each config gets a fresh
     pipeline (jit cache keyed by shapes/dtypes, so same-resolution configs
-    share compilations)."""
+    share compilations). When `gt_poses` (world poses aligned to the frames,
+    e.g. from eval.synthetic.synthetic_drive) is given, every row also
+    carries ATE and final-drift accuracy columns, so precision/resolution
+    trade-offs are quantified next to FPS."""
     from spsvo_tpu.pipeline import VisualOdometry
 
     results = []
@@ -148,11 +163,21 @@ def run_sweep(frames_fn, P_l: np.ndarray, P_r: np.ndarray,
             vo = VisualOdometry(cfg)
             frames = list(frames_fn())[:max_frames]
             res = run_sequence(vo, frames, P_l, P_r)
-            results.append({
+            row = {
                 "config": cfg.config_string,
                 "mean_total_ms": res.mean_total_ms,
                 "fps": res.fps,
-            })
+            }
+            if gt_poses is not None:
+                n = min(len(res.poses), len(gt_poses))
+                gt_t = gt_poses[n - 1][:3, 3]
+                est_t = res.poses[n - 1][:3, 3]
+                row["ate_m"] = metrics_mod.ate(gt_poses[:n], res.poses[:n])
+                row["final_drift_percent"] = float(
+                    100.0 * np.linalg.norm(est_t - gt_t)
+                    / max(np.linalg.norm(gt_t), 1e-9))
+                row.update(metrics_mod.rpe(gt_poses[:n], res.poses[:n]))
+            results.append(row)
         except Exception as e:  # record and continue the grid
             results.append({"config": cfg.config_string, "error": str(e)})
         with open(out_json, "w") as f:

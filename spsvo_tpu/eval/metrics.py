@@ -25,8 +25,10 @@ def trajectory_distances(poses: Sequence[np.ndarray]) -> np.ndarray:
 
 
 def _first_frame_past(dist: np.ndarray, start: int, length: float) -> int:
+    """First frame strictly past `length` metres from `start` — the devkit's
+    lastFrameFromSegmentLength (dist[i] > dist[start] + len, strict)."""
     target = dist[start] + length
-    idx = np.searchsorted(dist, target)
+    idx = np.searchsorted(dist, target, side="right")
     return int(idx) if idx < len(dist) else -1
 
 

@@ -116,27 +116,53 @@ def _match(a: Keypoints, b: Keypoints, cfg: VOConfig,
         cross_check=cfg.cross_check, ratio=cfg.knn_threshold, binary=binary)
 
 
-def features_step(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
-                  P_l: jax.Array, P_r: jax.Array, key: jax.Array, *,
-                  cfg: VOConfig, binary_desc: bool = False
-                  ) -> Tuple[VOState, VOStepOutput]:
-    """Matching + geometry for one frame given extracted features.
+def match_stage(state: VOState, kp_l: Keypoints, kp_r: Keypoints, *,
+                cfg: VOConfig, binary_desc: bool = False
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Stereo + inter-frame matching (the reference's matchDescriptors calls,
+    visual_odometry_node.cpp:196-198). Split out so the instrumented mode can
+    time it as its own dispatch; the fused path composes it with solve_stage.
 
-    Shared by the SuperPoint path (features from the on-device frontend) and
-    the classic path (features from host OpenCV detectors); this is
-    everything in stereoCallback after addStereoImagePair
-    (visual_odometry_node.cpp:196-233).
+    Both match calls share the same query side (current-left descriptors), so
+    on the default float path their distance matrices are computed as ONE
+    (K, 2K) MXU matmul against the concatenated targets — half the matmul
+    dispatches of two separate calls, identical selection semantics.
     """
-    m_stereo = _match(kp_l, kp_r, cfg, binary=binary_desc)
-    m_inter = _match(kp_l, state.prev_left, cfg, binary=binary_desc)
+    if not binary_desc and not cfg.use_pallas_matcher:
+        k = kp_r.desc.shape[0]
+        desc_cat = jnp.concatenate([kp_r.desc, state.prev_left.desc], axis=0)
+        dist = matching.l2_distance_sq(kp_l.desc, desc_cat)   # (K, 2K)
+        if cfg.selector_type == SelectorType.KNN:
+            m_stereo = matching.match_ratio(dist[:, :k], kp_l.valid,
+                                            kp_r.valid, cfg.knn_threshold)
+            m_inter = matching.match_ratio(dist[:, k:], kp_l.valid,
+                                           state.prev_left.valid,
+                                           cfg.knn_threshold)
+        else:
+            m_stereo = matching.match_nn(dist[:, :k], kp_l.valid, kp_r.valid,
+                                         cfg.cross_check)
+            m_inter = matching.match_nn(dist[:, k:], kp_l.valid,
+                                        state.prev_left.valid,
+                                        cfg.cross_check)
+    else:
+        m_stereo = _match(kp_l, kp_r, cfg, binary=binary_desc)
+        m_inter = _match(kp_l, state.prev_left, cfg, binary=binary_desc)
     # first frame: previous features are garbage — kill inter-frame matches
     inter_idx = jnp.where(state.initialized, m_inter.idx, -1)
+    return m_stereo.idx, inter_idx
 
+
+def solve_stage(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
+                stereo_idx: jax.Array, inter_idx: jax.Array,
+                P_l: jax.Array, P_r: jax.Array, key: jax.Array, *,
+                cfg: VOConfig) -> Tuple[VOState, VOStepOutput]:
+    """Chain filter + geometry solve + state update given match maps
+    (solveStereoOdometry and the node bookkeeping around it)."""
     chain = solver.build_chain(
         kp_l.xy, kp_r.xy, kp_l.valid, kp_r.valid,
         state.prev_left.xy, state.prev_right.xy,
         state.prev_left.valid, state.prev_right.valid,
-        m_stereo.idx, inter_idx, state.prev_stereo_map,
+        stereo_idx, inter_idx, state.prev_stereo_map,
         cfg.stereo_threshold, cfg.min_disparity)
 
     # the reference's frame counter increments only after each solve (first
@@ -155,7 +181,7 @@ def features_step(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
 
     new_state = VOState(
         prev_left=kp_l, prev_right=kp_r,
-        prev_stereo_map=m_stereo.idx,
+        prev_stereo_map=stereo_idx,
         q_pred=q_pred, t_pred=t_pred,
         frame_count=state.frame_count + 1,
         initialized=jnp.asarray(True))
@@ -163,7 +189,7 @@ def features_step(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
     diagnostics = {
         "num_keypoints_left": jnp.sum(kp_l.valid).astype(jnp.int32),
         "num_keypoints_right": jnp.sum(kp_r.valid).astype(jnp.int32),
-        "num_stereo_matches": m_stereo.count().astype(jnp.int32),
+        "num_stereo_matches": jnp.sum(stereo_idx >= 0).astype(jnp.int32),
         "num_interframe_matches": jnp.sum(inter_idx >= 0).astype(jnp.int32),
         "num_chain": res.num_chain,
         "num_inliers": res.num_inliers,
@@ -174,10 +200,28 @@ def features_step(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
     }
     out = VOStepOutput(
         T_curr_prev=T, keypoints_left=kp_l, keypoints_right=kp_r,
-        stereo_map=m_stereo.idx, interframe_map=inter_idx,
+        stereo_map=stereo_idx, interframe_map=inter_idx,
         chain_valid=res.chain_valid, inliers=res.inliers,
         diagnostics=diagnostics)
     return new_state, out
+
+
+def features_step(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
+                  P_l: jax.Array, P_r: jax.Array, key: jax.Array, *,
+                  cfg: VOConfig, binary_desc: bool = False
+                  ) -> Tuple[VOState, VOStepOutput]:
+    """Matching + geometry for one frame given extracted features.
+
+    Shared by the SuperPoint path (features from the on-device frontend) and
+    the classic path (features from host OpenCV detectors); this is
+    everything in stereoCallback after addStereoImagePair
+    (visual_odometry_node.cpp:196-233). Fused composition of match_stage +
+    solve_stage (the instrumented mode runs them as separate dispatches).
+    """
+    stereo_idx, inter_idx = match_stage(state, kp_l, kp_r, cfg=cfg,
+                                        binary_desc=binary_desc)
+    return solve_stage(state, kp_l, kp_r, stereo_idx, inter_idx, P_l, P_r,
+                       key, cfg=cfg)
 
 
 def vo_step(params: Any, state: VOState, images: jax.Array, P_l: jax.Array,
@@ -276,6 +320,65 @@ class VisualOdometry:
 
     def current_pose(self) -> np.ndarray:
         return self.world_T_cam.copy()
+
+    # -- instrumented mode: real per-stage latency columns -------------------
+    def process_instrumented(self, img_l: np.ndarray, img_r: np.ndarray,
+                             P_l: np.ndarray, P_r: np.ndarray
+                             ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        """Like `process`, but runs the pipeline as three stage-split jitted
+        programs (frontend / matching / solve) and times each by host fetch,
+        filling the reference's detect/match/solve CSV columns
+        (visual_odometry_node.cpp:246-258). Same math and same PRNG stream as
+        the fused path — results are identical; each extra dispatch costs one
+        host round-trip, so the fused `process` remains the fast default.
+        """
+        import functools
+        cfg = self.cfg
+        if not hasattr(self, "_stage_frontend"):
+            def frontend(params, img_l, img_r, P_l, P_r):
+                imgs, P_l2, P_r2 = image_ops.preprocess_stereo_pair(
+                    img_l, img_r, P_l, P_r,
+                    dst_h=cfg.image_height, dst_w=cfg.image_width)
+                kp_l, kp_r = superpoint_frontend(self.apply_fn, params, imgs,
+                                                 cfg)
+                return kp_l, kp_r, P_l2, P_r2
+
+            self._stage_frontend = jax.jit(frontend)
+            self._stage_match = jax.jit(functools.partial(match_stage,
+                                                          cfg=cfg))
+            self._stage_solve = jax.jit(functools.partial(solve_stage,
+                                                          cfg=cfg))
+
+        key = jax.random.fold_in(self._key, self._frame_idx)
+        self._frame_idx += 1
+
+        t0 = time.perf_counter()
+        kp_l, kp_r, P_l2, P_r2 = self._stage_frontend(
+            self.params, jnp.asarray(img_l), jnp.asarray(img_r),
+            jnp.asarray(P_l, jnp.float32), jnp.asarray(P_r, jnp.float32))
+        np.asarray(kp_l.xy)  # sync (block_until_ready is a no-op on axon)
+        t1 = time.perf_counter()
+        stereo_idx, inter_idx = self._stage_match(self.state, kp_l, kp_r)
+        np.asarray(stereo_idx)
+        t2 = time.perf_counter()
+        self.state, out = self._stage_solve(
+            self.state, kp_l, kp_r, stereo_idx, inter_idx, P_l2, P_r2, key)
+        T = np.asarray(out.T_curr_prev, dtype=np.float64)
+        t3 = time.perf_counter()
+
+        if np.linalg.norm(T[:3, 3]) > cfg.max_velocity_per_frame:
+            T = self.last_valid_T.copy()
+        else:
+            self.last_valid_T = T.copy()
+        self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
+        self.trajectory.append(self.world_T_cam.copy())
+
+        lat = {"detect": (t1 - t0) * 1e3, "match": (t2 - t1) * 1e3,
+               "solve": (t3 - t2) * 1e3, "total": (t3 - t0) * 1e3}
+        self.latencies.append(lat)
+        info: Dict[str, Any] = {"latency_s": t3 - t0, "stages_ms": lat,
+                                "output": out}
+        return T, info
 
     # -- streaming: online semantics at near-throughput speed ---------------
     def process_stream(self, frames, P_l: np.ndarray, P_r: np.ndarray,

@@ -174,3 +174,77 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _devkit_errors(gt, est, step=10):
+    """Literal transcription of the official KITTI devkit's
+    evaluate_odometry.cpp calcSequenceErrors loop (written from the published
+    algorithm): cumulative GT distances, lastFrameFromSegmentLength with a
+    STRICT > comparison, lengths 100..800, step_size 10, error = pose_error
+    of the relative transforms normalised by segment length."""
+    lengths = [100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0]
+    dist = [0.0]
+    for i in range(1, len(gt)):
+        dist.append(dist[-1] + float(np.linalg.norm(gt[i][:3, 3]
+                                                    - gt[i - 1][:3, 3])))
+
+    def last_frame(first, length):
+        for i in range(first, len(dist)):
+            if dist[i] > dist[first] + length:
+                return i
+        return -1
+
+    t_errs, r_errs = [], []
+    for first in range(0, len(gt), step):
+        for length in lengths:
+            last = last_frame(first, length)
+            if last == -1:
+                continue
+            d_gt = np.linalg.inv(gt[first]) @ gt[last]
+            d_est = np.linalg.inv(est[first]) @ est[last]
+            E = np.linalg.inv(d_est) @ d_gt
+            a = np.clip(0.5 * (np.trace(E[:3, :3]) - 1.0), -1.0, 1.0)
+            r_errs.append(np.arccos(a) / length)
+            t_errs.append(np.linalg.norm(E[:3, 3]) / length)
+    return (100.0 * np.mean(t_errs), np.degrees(np.mean(r_errs)),
+            len(t_errs))
+
+
+def test_kitti_errors_matches_devkit_semantics():
+    """Pin kitti_errors to the official devkit's exact subsequence logic on a
+    noisy curved synthetic trajectory (>800 m so every length bucket fires)."""
+    rng = np.random.default_rng(7)
+    gt, est = [np.eye(4)], [np.eye(4)]
+    yaw_gt = 0.0
+    yaw_est = 0.0
+    for i in range(1200):
+        yaw_gt += 0.002 * np.sin(i / 60.0)
+        yaw_est = yaw_gt + rng.normal(0, 0.001)
+        stp = 1.0
+        d_gt, d_est = np.eye(4), np.eye(4)
+        d_gt[:3, :3] = Rotation.from_euler("y", yaw_gt).as_matrix()
+        d_gt[:3, 3] = d_gt[:3, :3] @ [0, 0, stp]
+        d_est[:3, :3] = Rotation.from_euler("y", yaw_est).as_matrix()
+        d_est[:3, 3] = d_est[:3, :3] @ [0, 0, stp * (1 + rng.normal(0, 0.01))]
+        gt.append(gt[-1] @ d_gt)
+        est.append(est[-1] @ d_est)
+
+    ours = metrics.kitti_errors(gt, est)
+    t_ref, r_ref, n_ref = _devkit_errors(gt, est)
+    assert ours["num_subsequences"] == n_ref
+    assert ours["t_err_percent"] == pytest.approx(t_ref, rel=1e-9)
+    assert ours["r_err_deg_per_m"] == pytest.approx(r_ref, rel=1e-9)
+
+
+def test_kitti_errors_devkit_equality_tie_break():
+    """Exact-distance ties: the devkit requires STRICTLY past the segment
+    length; a 1 m/frame straight line puts dist[start+100] exactly at +100 m,
+    so the subsequence must end at start+101, not start+100."""
+    gt = _straight_trajectory(103, 1.0)
+    est = [T.copy() for T in gt]
+    est[101][2, 3] += 0.5   # error visible only if frame 101 is the endpoint
+    est[100][2, 3] += 0.0
+    out = metrics.kitti_errors(gt, est)
+    # one subsequence (start=0, len=100) ending at frame 101: err = 0.5/100
+    assert out["num_subsequences"] == 1
+    assert out["t_err_percent"] == pytest.approx(0.5, rel=1e-9)

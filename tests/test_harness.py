@@ -3,6 +3,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from spsvo_tpu.config import VOConfig
 from spsvo_tpu.eval import harness
@@ -108,3 +109,21 @@ def test_cli_requires_data_source(capsys):
     from spsvo_tpu import run as run_mod
     rc = run_mod.main(["--preset", "flagship_tpu"])
     assert rc == 2
+
+
+@pytest.mark.slow
+def test_run_sweep_accuracy_columns(tmp_path):
+    """With ground-truth poses, sweep rows carry ATE/drift/RPE next to FPS
+    (the reference's accuracy-vs-config study, report §4.2)."""
+    from spsvo_tpu.eval.synthetic import synthetic_drive
+    rng = np.random.default_rng(3)
+    frames, poses, P_l, P_r = synthetic_drive(rng, n_frames=5)
+    cfgs = [VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                     ransac_iterations=64, max_keypoints=128)]
+    out = str(tmp_path / "sweep.json")
+    rows = harness.run_sweep(lambda: list(frames), P_l, P_r, configs=cfgs,
+                             out_json=out, gt_poses=poses)
+    assert len(rows) == 1 and "error" not in rows[0], rows
+    for k in ("fps", "ate_m", "final_drift_percent", "rpe_trans_rmse_m"):
+        assert k in rows[0], rows[0]
+    assert rows[0]["final_drift_percent"] < 15.0, rows[0]

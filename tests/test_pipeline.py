@@ -161,3 +161,47 @@ def test_process_stream_padded_tail_preserves_state(rng):
     t_est = vo.current_pose()[:3, 3]
     t_gt = poses[-1][:3, 3]
     assert np.linalg.norm(t_est - t_gt) < 0.12 * np.linalg.norm(t_gt) + 0.06
+
+
+@pytest.mark.slow
+def test_instrumented_stages_match_fused(rng):
+    """The stage-split instrumented mode must reproduce the fused path
+    exactly (same PRNG stream, same math) and produce real per-stage
+    latencies that add up to its total."""
+    frames, poses, P_l, P_r = _synthetic_sequence(rng, n_frames=5)
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=64, max_keypoints=128)
+    vo_f = VisualOdometry(cfg)
+    vo_i = VisualOdometry(cfg)
+    for il, ir in frames:
+        T_f, _ = vo_f.process(il, ir, P_l, P_r)
+        T_i, info = vo_i.process_instrumented(il, ir, P_l, P_r)
+        np.testing.assert_allclose(T_i, T_f, atol=1e-5)
+        lat = info["stages_ms"]
+        assert lat["detect"] > 0 and lat["match"] > 0 and lat["solve"] > 0
+        s = lat["detect"] + lat["match"] + lat["solve"]
+        assert abs(s - lat["total"]) < 0.05 * lat["total"] + 0.5, lat
+    np.testing.assert_allclose(vo_i.current_pose(), vo_f.current_pose(),
+                               atol=1e-4)
+
+
+@pytest.mark.slow
+def test_harness_instrumented_csv_columns(rng, tmp_path):
+    """run_sequence(instrument_stages=True) writes nonzero stage columns in
+    the reference's 4-column CSV contract."""
+    import csv as csv_mod
+
+    from spsvo_tpu.eval.harness import run_sequence
+    frames, _, P_l, P_r = _synthetic_sequence(rng, n_frames=4)
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=64, max_keypoints=128)
+    vo = VisualOdometry(cfg)
+    res = run_sequence(vo, iter(frames), P_l, P_r,
+                       latency_dir=str(tmp_path), instrument_stages=True)
+    path = tmp_path / "tpu" / f"{cfg.config_string}_seq.csv"
+    rows = list(csv_mod.DictReader(open(path)))
+    assert len(rows) == 4
+    for r in rows:
+        assert float(r["detect"]) > 0
+        assert float(r["match"]) > 0
+        assert float(r["solve"]) > 0
