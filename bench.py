@@ -78,6 +78,26 @@ def _measure(fn, args, n_frames, reps=3):
     return n_frames / best, diags
 
 
+def _measure_pipelined(fn, args, n_frames, depth=4, reps=3):
+    """Sustained throughput: enqueue `depth` async dispatches, sync once.
+
+    A single dispatch+fetch pays the host<->device tunnel RTT (~50 ms here,
+    ~0.4 ms/frame at N=128) that a local PCIe/DMA deployment would not; the
+    device queue executes calls in order, so fetching the last output bounds
+    them all. `_measure` (single-call, RTT included) is kept as an aux row."""
+    out = fn(*args)
+    np.asarray(out[0])
+    best = float("inf")
+    diags = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(depth)]
+        np.asarray(outs[-1][0])
+        best = min(best, (time.perf_counter() - t0) / depth)
+        diags = outs[-1][1]
+    return n_frames / best, diags
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -85,10 +105,18 @@ def main():
     from spsvo_tpu.config import Precision, VOConfig
     from spsvo_tpu.models import zoo
     from spsvo_tpu.parallel.sharding import (build_batch_vo,
+                                             build_online_hybrid,
                                              build_sequence_scan, make_mesh)
 
     cfg = VOConfig(model_name_prefix="sp_mbv1", image_height=120,
                    image_width=392, max_keypoints=512, ransac_iterations=256)
+    # sequential-mode tuning: one exhaustive RANSAC batch and a fixed
+    # unrolled LM — every while/scan iteration costs ~0.27 ms of fixed
+    # runtime overhead on this TPU (BENCH_NOTES.md), so sequential paths
+    # minimise iteration counts, not FLOPs. Accuracy pinned by
+    # tests/test_parallel.py::test_online_hybrid_tuned_config_accuracy.
+    cfg_seq = dataclasses.replace(cfg, ransac_chunk=0, lm_unroll=6,
+                                  solve_slots=128)
     frames, P_l2, P_r2 = _load_frames(cfg)
     mesh = make_mesh()
     key = jax.random.PRNGKey(0)
@@ -96,15 +124,27 @@ def main():
     P_l_j = jnp.asarray(P_l2, jnp.float32)
     P_r_j = jnp.asarray(P_r2, jnp.float32)
 
-    # ---- headline: gate-correct throughput mode, fp32 --------------------
+    # ---- headline: gate-correct throughput mode, fp32, sustained ----------
     apply_fn, params = zoo.load_model(cfg.model_name_prefix)
     t0 = time.perf_counter()
     batch_fn = build_batch_vo(apply_fn, cfg, mesh)
-    fps, diags = _measure(batch_fn, (params, images, P_l_j, P_r_j, key),
-                          N_FRAMES, reps=6)
-    log(f"throughput fp32: {fps:.1f} FPS "
-        f"(compile+3 reps {time.perf_counter()-t0:.0f}s, "
+    fps, diags = _measure_pipelined(
+        batch_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES)
+    log(f"throughput fp32 (sustained): {fps:.1f} FPS "
+        f"(compile+reps {time.perf_counter()-t0:.0f}s, "
         f"mean inliers {np.asarray(diags['num_inliers']).mean():.0f})")
+    fps_1call, _ = _measure(batch_fn, (params, images, P_l_j, P_r_j, key),
+                            N_FRAMES, reps=3)
+    log(f"throughput fp32 (single call incl. tunnel RTT): {fps_1call:.1f} FPS")
+
+    # ---- aux: ONLINE semantics (prior-seeded RANSAC + gates), hybrid ------
+    try:
+        hyb_fn = build_online_hybrid(apply_fn, cfg_seq)
+        fps_hyb, _ = _measure_pipelined(
+            hyb_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES)
+        log(f"online-hybrid fp32 (sustained): {fps_hyb:.1f} FPS")
+    except Exception as e:
+        log(f"online-hybrid aux run failed: {e}")
 
     # ---- aux: reference-parity settings (VERDICT r1 #4) -------------------
     # the reference runs 500 RANSAC iterations (feature_detection_base.cpp:
@@ -122,9 +162,9 @@ def main():
     except Exception as e:
         log(f"parity aux run failed: {e}")
 
-    # ---- aux: online-semantics sequential scan ---------------------------
+    # ---- aux: strict per-frame sequential scan (whole step in the scan) ---
     try:
-        seq_fn = build_sequence_scan(apply_fn, cfg)
+        seq_fn = build_sequence_scan(apply_fn, cfg_seq)
         fps_online, _ = _measure(
             seq_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES, reps=2)
         log(f"online-sequential fp32: {fps_online:.1f} FPS")
@@ -136,9 +176,14 @@ def main():
         cfg16 = dataclasses.replace(cfg, precision=Precision.BF16)
         apply16, params16 = zoo.load_model(cfg.model_name_prefix, jnp.bfloat16)
         b16 = build_batch_vo(apply16, cfg16, mesh)
-        fps16, _ = _measure(b16, (params16, images, P_l_j, P_r_j, key),
-                            N_FRAMES, reps=2)
-        log(f"throughput bf16: {fps16:.1f} FPS")
+        fps16, _ = _measure_pipelined(
+            b16, (params16, images, P_l_j, P_r_j, key), N_FRAMES)
+        log(f"throughput bf16 (sustained): {fps16:.1f} FPS")
+        h16 = build_online_hybrid(
+            apply16, dataclasses.replace(cfg_seq, precision=Precision.BF16))
+        fps_h16, _ = _measure_pipelined(
+            h16, (params16, images, P_l_j, P_r_j, key), N_FRAMES)
+        log(f"online-hybrid bf16 (sustained): {fps_h16:.1f} FPS")
     except Exception as e:
         log(f"bf16 aux run failed: {e}")
 

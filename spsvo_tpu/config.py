@@ -120,7 +120,16 @@ class VOConfig:
     ransac_reproj_threshold: float = 2.0   # px
     ransac_confidence: float = 0.999  # adaptive early-exit bound; >=1 = off
     ransac_min_inliers: int = 6       # below this, PnP is declared failed
+    solve_slots: int = 256            # solver capacity: chain survivors are
+    # compacted into this many lanes before triangulation/RANSAC/LM, so the
+    # geometric solve scales with real matches, not keypoint capacity; chains
+    # longer than this keep only the first solve_slots (0 = no compaction)
     lm_max_iterations: int = 40       # reference Ceres max_num_iterations
+    lm_unroll: int = 0                # >0: exactly this many LM iterations,
+    # trace-unrolled (no while_loop) — sequential scans pay ~0.27 ms fixed
+    # overhead per while iteration on TPU; 0 keeps the early-exit while_loop
+    ransac_chunk: int = 64            # adaptive-loop chunk size; <=0 or
+    # >= iterations = one exhaustive batch (best for sequential scans)
     huber_delta: float = 1.0          # reference HuberLoss(1.0)
 
     # --- motion gates (reference feature_detection.hpp:145-147,

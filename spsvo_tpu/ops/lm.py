@@ -81,12 +81,19 @@ def refine_pose(q0: jax.Array, t0: jax.Array, pts3d_curr: jax.Array,
                 uv_prev_r: jax.Array, uv_curr_l: jax.Array,
                 uv_curr_r: jax.Array, inliers: jax.Array, P_l: jax.Array,
                 P_r: jax.Array, *, refinement_degree: int = 4,
-                max_iterations: int = 40, huber_delta: float = 1.0
-                ) -> LMResult:
+                max_iterations: int = 40, huber_delta: float = 1.0,
+                unroll: int = 0) -> LMResult:
     """LM over (q, t) = prev_T_curr on the degree-gated factor set.
 
     All point arrays are (K, ...) with `inliers` (K,) selecting the PnP
     inliers (reference iterates `inliers_pnp`, :291).
+
+    `unroll > 0` runs exactly that many LM iterations trace-unrolled (no
+    while_loop): on sequential whole-sequence scans each while iteration
+    carries ~0.27 ms of fixed runtime overhead on this TPU, so a fixed
+    small count (typical convergence is 5-15 iterations) is far cheaper;
+    the accept/damping logic and the final revert-on-non-improvement guard
+    are identical.
     """
     K = pts3d_curr.shape[0]
     factor_on = jnp.array([refinement_degree >= 1, refinement_degree >= 2,
@@ -151,10 +158,15 @@ def refine_pose(q0: jax.Array, t0: jax.Array, pts3d_curr: jax.Array,
         _, _, _, _, it, done = carry
         return (it < max_iterations) & ~done
 
-    q, t, _, c_final, _, _ = jax.lax.while_loop(
-        cond, step, (q0.astype(jnp.float32), t0.astype(jnp.float32),
-                     jnp.float32(1e-4), c0, jnp.int32(0),
-                     jnp.asarray(False)))
+    init = (q0.astype(jnp.float32), t0.astype(jnp.float32),
+            jnp.float32(1e-4), c0, jnp.int32(0), jnp.asarray(False))
+    if unroll > 0:
+        carry = init
+        for _ in range(unroll):
+            carry = step(carry)
+        q, t, _, c_final, _, _ = carry
+    else:
+        q, t, _, c_final, _, _ = jax.lax.while_loop(cond, step, init)
 
     improved = c_final < c0
     q = jnp.where(improved, q, q0)

@@ -108,7 +108,7 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
                 q_prior: jax.Array, t_prior: jax.Array, *,
                 iterations: int = 500, reproj_threshold: float = 2.0,
                 min_inliers: int = 6, confidence: float = 0.999,
-                chunk: int = 64) -> PnPResult:
+                chunk: int = 64, polish_unroll: int = 0) -> PnPResult:
     """RANSAC over 3-point rigid hypotheses, scored by 2D reprojection.
 
     pts3d_curr: (K, 3) triangulated in the current left-cam frame.
@@ -138,7 +138,8 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
         err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)
         return (err2 < thr2) & valid & (Xp[..., 2] > 0)
 
-    chunk = min(chunk, iterations)
+    single_batch = chunk <= 0 or chunk >= iterations
+    chunk = iterations if single_batch else min(chunk, iterations)
     n_chunks = -(-iterations // chunk)
     k_samp, _ = jax.random.split(key)
     idx = _sample_indices(k_samp, valid, n_chunks * chunk, 3)  # (S', 3)
@@ -183,12 +184,23 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
 
     init = (jnp.int32(0), jnp.sum(inl_prior), R_prior,
             t_prior.astype(jnp.float32), inl_prior)
-    n_done, _, R_best, t_best, best_inl = jax.lax.while_loop(cond, body, init)
-    n_hypotheses = n_done * chunk
+    if single_batch:
+        # exhaustive one-shot batch: on sequential paths (whole-sequence
+        # scans) each while_loop iteration costs ~0.27 ms of fixed runtime
+        # overhead on this TPU — one full-budget batch is cheaper than any
+        # adaptive loop there, and is the confidence>=1 semantics.
+        _, _, R_best, t_best, best_inl = body(init)
+        n_hypotheses = jnp.int32(iterations)
+    else:
+        n_done, _, R_best, t_best, best_inl = jax.lax.while_loop(
+            cond, body, init)
+        n_hypotheses = n_done * chunk
 
     # local optimisation: weighted Kabsch re-fit on inliers, then recount —
-    # two rounds, the batched analogue of USAC's LO step.
-    def refit(carry, _):
+    # two rounds, the batched analogue of USAC's LO step. Trace-unrolled:
+    # a length-2 lax.scan costs 2x the ~0.27 ms fixed per-iteration overhead
+    # on sequential paths for no benefit.
+    def refit(carry):
         R, t, inliers = carry
         w = inliers.astype(jnp.float32)
         q2, t2 = _horn(pts3d_curr, pts3d_prev, w)
@@ -202,10 +214,12 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
         R = jnp.where(better, R2, R)
         t = jnp.where(better, t2, t)
         inliers = jnp.where(better, inl2, inliers)
-        return (R, t, inliers), None
+        return (R, t, inliers)
 
-    (R_best, t_best, best_inl), _ = jax.lax.scan(
-        refit, (R_best, t_best, best_inl), None, length=2)
+    carry = (R_best, t_best, best_inl)
+    for _ in range(2):
+        carry = refit(carry)
+    R_best, t_best, best_inl = carry
 
     # final polish: Gauss-Newton on the 2D reprojection cost over the inliers
     # (depth-noisy triangulations are weighted correctly by image-space
@@ -215,8 +229,9 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
     zeros2 = jnp.zeros_like(pts2d_prev)
     polished = _lm.refine_pose(
         q_best, t_best, pts3d_curr, pts3d_curr, pts2d_prev, zeros2, zeros2,
-        zeros2, best_inl, P_l, P_l, refinement_degree=1, max_iterations=10,
-        huber_delta=reproj_threshold)
+        zeros2, best_inl, P_l, P_l, refinement_degree=1,
+        max_iterations=(polish_unroll or 10), huber_delta=reproj_threshold,
+        unroll=polish_unroll)
     Xp = pts3d_curr @ se3.quat_to_matrix(polished.q).T + polished.t
     uv = project(P_l, Xp)
     err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)

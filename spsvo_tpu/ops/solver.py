@@ -87,28 +87,95 @@ def build_chain(xy_curr_l, xy_curr_r, valid_curr_l, valid_curr_r,
     return SolveInputs(xy_curr_l, uv_cr, uv_pl, uv_pr, chain)
 
 
-def solve_stereo_odometry(key: jax.Array, inputs: SolveInputs,
-                          P_l: jax.Array, P_r: jax.Array, q_pred: jax.Array,
-                          t_pred: jax.Array, frame_count: jax.Array,
-                          cfg: VOConfig) -> SolveResult:
-    """Full geometric solve for one frame. Everything fixed-shape under jit."""
-    chain = inputs.chain_valid
+class PreparedSolve(NamedTuple):
+    """Prior-independent solve inputs, compacted to `cfg.solve_slots` lanes.
 
-    pts3d_curr = triangulate(P_l, P_r, inputs.xy_curr_l, inputs.xy_curr_r)
-    pts3d_prev = triangulate(P_l, P_r, inputs.xy_prev_l, inputs.xy_prev_r)
+    Computing this is frame-parallel work; only `solve_prepared` depends on
+    the sequential motion prior."""
+
+    pts3d_curr: jax.Array     # (L, 3)
+    pts3d_prev: jax.Array     # (L, 3)
+    uv_curr_l: jax.Array      # (L, 2)
+    uv_curr_r: jax.Array      # (L, 2)
+    uv_prev_l: jax.Array      # (L, 2)
+    uv_prev_r: jax.Array      # (L, 2)
+    chain: jax.Array          # (L,) bool
+    sel: jax.Array            # (L,) int32 source slots (for scatter-back)
+
+
+def prepare_solve(inputs: SolveInputs, P_l: jax.Array, P_r: jax.Array,
+                  cfg: VOConfig) -> PreparedSolve:
+    """Compaction + triangulation — everything in the solve that does NOT
+    depend on the motion prior.
+
+    Chain survivors are COMPACTED into `cfg.solve_slots` lanes (a stable
+    top-k gather on the mask): typical chains at 120x392 hold 60-200 points,
+    so triangulation, RANSAC scoring and every LM iteration run on a small
+    dense array instead of the K-capacity one — the solver's cost scales
+    with real matches, not keypoint capacity."""
+    chain_full = inputs.chain_valid
+    K = chain_full.shape[0]
+    L = min(cfg.solve_slots, K) if cfg.solve_slots else K
+
+    if L < K:
+        # stable: valid lanes first, original order preserved within ties
+        _, sel = jax.lax.top_k(chain_full.astype(jnp.float32), L)
+        chain = chain_full[sel]
+    else:
+        sel = jnp.arange(K, dtype=jnp.int32)
+        chain = chain_full
+    xy_curr_l = inputs.xy_curr_l[sel]
+    xy_curr_r = inputs.xy_curr_r[sel]
+    xy_prev_l = inputs.xy_prev_l[sel]
+    xy_prev_r = inputs.xy_prev_r[sel]
+
+    pts3d_curr = triangulate(P_l, P_r, xy_curr_l, xy_curr_r)
+    pts3d_prev = triangulate(P_l, P_r, xy_prev_l, xy_prev_r)
     # guard NaN/degenerate triangulations out of the chain
     finite = (jnp.all(jnp.isfinite(pts3d_curr), axis=-1)
               & jnp.all(jnp.isfinite(pts3d_prev), axis=-1))
     chain = chain & finite
     pts3d_curr = jnp.where(chain[:, None], pts3d_curr, 0.0)
     pts3d_prev = jnp.where(chain[:, None], pts3d_prev, 0.0)
+    return PreparedSolve(pts3d_curr, pts3d_prev, xy_curr_l, xy_curr_r,
+                         xy_prev_l, xy_prev_r, chain, sel)
+
+
+def solve_stereo_odometry(key: jax.Array, inputs: SolveInputs,
+                          P_l: jax.Array, P_r: jax.Array, q_pred: jax.Array,
+                          t_pred: jax.Array, frame_count: jax.Array,
+                          cfg: VOConfig) -> SolveResult:
+    """Full geometric solve for one frame: prepare (compaction +
+    triangulation) + the prior-dependent core. Everything fixed-shape under
+    jit. Inlier/chain masks are scattered back to full capacity."""
+    prep = prepare_solve(inputs, P_l, P_r, cfg)
+    return solve_prepared(key, prep, P_l, P_r, q_pred, t_pred, frame_count,
+                          cfg, k_capacity=inputs.chain_valid.shape[0])
+
+
+def solve_prepared(key: jax.Array, prep: PreparedSolve, P_l: jax.Array,
+                   P_r: jax.Array, q_pred: jax.Array, t_pred: jax.Array,
+                   frame_count: jax.Array, cfg: VOConfig,
+                   k_capacity: int = 0) -> SolveResult:
+    """RANSAC + gates + LM on prepared inputs — the only solve stage that
+    consumes the sequential motion prior (the hybrid online mode scans over
+    exactly this). `k_capacity` is the original keypoint capacity the masks
+    scatter back to (0 = already uncompacted)."""
+    chain = prep.chain
+    pts3d_curr, pts3d_prev = prep.pts3d_curr, prep.pts3d_prev
+    xy_curr_l, xy_curr_r = prep.uv_curr_l, prep.uv_curr_r
+    xy_prev_l, xy_prev_r = prep.uv_prev_l, prep.uv_prev_r
+    L = chain.shape[0]
+    K = k_capacity or L
+    sel = prep.sel
 
     res = pnp.ransac_pose(
-        key, pts3d_curr, pts3d_prev, inputs.xy_prev_l, chain, P_l,
+        key, pts3d_curr, pts3d_prev, xy_prev_l, chain, P_l,
         q_pred, t_pred, iterations=cfg.ransac_iterations,
         reproj_threshold=cfg.ransac_reproj_threshold,
         min_inliers=cfg.ransac_min_inliers,
-        confidence=cfg.ransac_confidence)
+        confidence=cfg.ransac_confidence, chunk=cfg.ransac_chunk,
+        polish_unroll=(min(cfg.lm_unroll, 4) if cfg.lm_unroll else 0))
 
     # acceleration anomaly gate (reference :241-260)
     accel = jnp.linalg.norm(res.t - t_pred) / cfg.time_interval
@@ -127,12 +194,12 @@ def solve_stereo_odometry(key: jax.Array, inputs: SolveInputs,
     lm_improved = jnp.asarray(False)
     if cfg.refinement_degree > 0:
         refined = lm.refine_pose(
-            q, t, pts3d_curr, pts3d_prev, inputs.xy_prev_l, inputs.xy_prev_r,
-            inputs.xy_curr_l, inputs.xy_curr_r,
+            q, t, pts3d_curr, pts3d_prev, xy_prev_l, xy_prev_r,
+            xy_curr_l, xy_curr_r,
             res.inliers & do_optimize, P_l, P_r,
             refinement_degree=cfg.refinement_degree,
             max_iterations=cfg.lm_max_iterations,
-            huber_delta=cfg.huber_delta)
+            huber_delta=cfg.huber_delta, unroll=cfg.lm_unroll)
         q = jnp.where(do_optimize, refined.q, q)
         t = jnp.where(do_optimize, refined.t, t)
         lm_improved = refined.improved & do_optimize
@@ -140,10 +207,18 @@ def solve_stereo_odometry(key: jax.Array, inputs: SolveInputs,
     T_prev_curr = se3.make_transform(q, t)
     T_curr_prev = se3.invert_transform(T_prev_curr)
 
+    if L < K:
+        # scatter the compacted masks back to full keypoint capacity
+        inliers_full = jnp.zeros((K,), bool).at[sel].set(res.inliers & chain)
+        chain_out = jnp.zeros((K,), bool).at[sel].set(chain)
+    else:
+        inliers_full = res.inliers & chain
+        chain_out = chain
+
     return SolveResult(
         q=q, t=t, T_curr_prev=T_curr_prev,
         q_pred=q_pred_new, t_pred=t_pred_new,
-        chain_valid=chain, inliers=res.inliers,
+        chain_valid=chain_out, inliers=inliers_full,
         num_chain=jnp.sum(chain).astype(jnp.int32),
         num_inliers=res.num_inliers,
         pnp_success=res.success, accel_anomaly=accel_anomaly,

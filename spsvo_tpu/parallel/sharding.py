@@ -73,21 +73,32 @@ def frontend_batch(apply_fn, params, images: jax.Array, cfg: VOConfig,
     return kps
 
 
-def _pair_solve(key, kp_l_prev: Keypoints, kp_r_prev: Keypoints,
-                kp_l_curr: Keypoints, kp_r_curr: Keypoints,
-                P_l, P_r, cfg: VOConfig):
-    """Solve one (prev, curr) frame pair; gates are applied afterwards in a
-    scalar sequential pass (`_gate_scan`)."""
-    m_stereo_curr = _match(kp_l_curr, kp_r_curr, cfg)
-    m_stereo_prev = _match(kp_l_prev, kp_r_prev, cfg)
-    m_inter = _match(kp_l_curr, kp_l_prev, cfg)
+def _stereo_match_all(kp_l: Keypoints, kp_r: Keypoints, cfg: VOConfig
+                      ) -> jax.Array:
+    """Per-frame stereo match indices (N, K) — computed ONCE per frame and
+    shared between the pair where the frame is `curr` and the pair where it
+    is `prev` (the reference's roll-over of the stereo map,
+    feature_detection_base.cpp:475-481)."""
+    return jax.vmap(lambda l, r: _match(l, r, cfg).idx)(kp_l, kp_r)
 
-    chain = solver.build_chain(
+
+def _pair_chain(kp_l_prev: Keypoints, kp_r_prev: Keypoints,
+                kp_l_curr: Keypoints, kp_r_curr: Keypoints,
+                stereo_prev: jax.Array, stereo_curr: jax.Array,
+                cfg: VOConfig):
+    """Matching + chain filter for one (prev, curr) frame pair — everything
+    frame-parallel that precedes the prior-dependent solve."""
+    m_inter = _match(kp_l_curr, kp_l_prev, cfg)
+    return solver.build_chain(
         kp_l_curr.xy, kp_r_curr.xy, kp_l_curr.valid, kp_r_curr.valid,
         kp_l_prev.xy, kp_r_prev.xy, kp_l_prev.valid, kp_r_prev.valid,
-        m_stereo_curr.idx, m_inter.idx, m_stereo_prev.idx,
+        stereo_curr, m_inter.idx, stereo_prev,
         cfg.stereo_threshold, cfg.min_disparity)
 
+
+def _pair_solve(key, chain: solver.SolveInputs, P_l, P_r, cfg: VOConfig):
+    """Solve one pre-chained frame pair; gates are applied afterwards in a
+    scalar sequential pass (`_gate_scan`)."""
     q0 = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
     t0 = jnp.zeros(3, jnp.float32)
     res = solver.solve_stereo_odometry(
@@ -130,8 +141,11 @@ def _gate_scan(qs, ts, qs_raw, ts_raw, success, cfg: VOConfig):
     # it counts completed solves (feature_detection_base.cpp:396)
     init = (jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
             jnp.zeros(3, jnp.float32), jnp.int32(0))
+    # unroll: each scan iteration costs ~0.27 ms of fixed runtime overhead
+    # on this TPU — for a 127-pair sequence that is 34 ms of pure overhead
+    # for scalar work; unrolling by 16 cuts it ~16x.
     _, (q_out, t_out, gated) = jax.lax.scan(
-        body, init, (qs, ts, qs_raw, ts_raw, success))
+        body, init, (qs, ts, qs_raw, ts_raw, success), unroll=16)
     return q_out, t_out, gated
 
 
@@ -155,15 +169,22 @@ def build_batch_vo(apply_fn, cfg: VOConfig, mesh: Mesh,
         kp_l = jax.tree.map(lambda a: a[:, 0], kp)
         kp_r = jax.tree.map(lambda a: a[:, 1], kp)
 
-        # phase 2: pairwise solves (prev=i, curr=i+1), sharded over pairs
+        # phase 1.5: stereo matches once per frame (shared by both pairs a
+        # frame participates in)
+        stereo_idx = _stereo_match_all(kp_l, kp_r, cfg)
+
+        # phase 2: pairwise matching+chain then solves (prev=i, curr=i+1),
+        # sharded over pairs
         prev_l = jax.tree.map(lambda a: a[:-1], kp_l)
         prev_r = jax.tree.map(lambda a: a[:-1], kp_r)
         curr_l = jax.tree.map(lambda a: a[1:], kp_l)
         curr_r = jax.tree.map(lambda a: a[1:], kp_r)
+        chains = jax.vmap(functools.partial(_pair_chain, cfg=cfg))(
+            prev_l, prev_r, curr_l, curr_r, stereo_idx[:-1], stereo_idx[1:])
         keys = jax.random.split(key, n - 1)
         (qs, ts, qs_raw, ts_raw, success), diag = jax.vmap(
             functools.partial(_pair_solve, P_l=P_l, P_r=P_r, cfg=cfg)
-        )(keys, prev_l, prev_r, curr_l, curr_r)
+        )(keys, chains)
 
         # phase 2b: sequential gate semantics over scalars (cheap)
         q_out, t_out, gated = _gate_scan(qs, ts, qs_raw, ts_raw, success, cfg)
@@ -184,6 +205,75 @@ def build_batch_vo(apply_fn, cfg: VOConfig, mesh: Mesh,
                     replicated)
     return jax.jit(fn, in_shardings=in_shardings,
                    out_shardings=(replicated, replicated))
+
+
+def build_online_hybrid(apply_fn, cfg: VOConfig):
+    """ONLINE semantics at near-throughput speed: every prior-INdependent
+    stage (CNN frontend, postprocess, stereo + inter-frame matching, chain
+    filter, compaction, triangulation) runs frame-parallel; the lax.scan
+    carries only the prior-dependent core (prior-seeded RANSAC, acceleration
+    gate, prior update, LM) over the prepared per-pair inputs.
+
+    This is the same math as `build_sequence_scan` (exact reference gate and
+    prior-seeding semantics — solver.solve_prepared is the identical code the
+    per-frame path runs) with the sequential region shrunk from the whole
+    step to ~1/3 of it, and the rest batched onto the MXU.
+    """
+    from spsvo_tpu.ops.solver import prepare_solve, solve_prepared
+
+    def fn(params, images, P_l, P_r, key):
+        n = images.shape[0]
+        # phase 1 (parallel): frontend on all 2N images
+        imgs_flat = images.reshape(n * 2, *images.shape[2:])
+        kps = frontend_batch(apply_fn, params, imgs_flat, cfg)
+        kp = jax.tree.map(lambda a: a.reshape(n, 2, *a.shape[1:]), kps)
+        kp_l = jax.tree.map(lambda a: a[:, 0], kp)
+        kp_r = jax.tree.map(lambda a: a[:, 1], kp)
+
+        # phase 2 (parallel): stereo matches once per frame; pair chains;
+        # compaction + triangulation
+        stereo_idx = _stereo_match_all(kp_l, kp_r, cfg)
+        prev_l = jax.tree.map(lambda a: a[:-1], kp_l)
+        prev_r = jax.tree.map(lambda a: a[:-1], kp_r)
+        curr_l = jax.tree.map(lambda a: a[1:], kp_l)
+        curr_r = jax.tree.map(lambda a: a[1:], kp_r)
+        chains = jax.vmap(functools.partial(_pair_chain, cfg=cfg))(
+            prev_l, prev_r, curr_l, curr_r, stereo_idx[:-1], stereo_idx[1:])
+        preps = jax.vmap(
+            lambda c: prepare_solve(c, P_l, P_r, cfg))(chains)
+
+        # phase 3 (sequential): the prior-dependent solve core only.
+        # frame_count at the solve of pair p (frames p -> p+1) is p, matching
+        # features_step's state.frame_count - 1 (reference counts completed
+        # solves, feature_detection_base.cpp:396).
+        keys = jax.random.split(key, n - 1)
+
+        def body(carry, xs):
+            q_pred, t_pred, fc = carry
+            prep, k = xs
+            res = solve_prepared(k, prep, P_l, P_r, q_pred, t_pred, fc, cfg)
+            diag = {"num_chain": res.num_chain,
+                    "num_inliers": res.num_inliers,
+                    "pnp_success": res.pnp_success,
+                    "accel_anomaly": res.accel_anomaly,
+                    "n_ransac_hypotheses": res.n_ransac_hypotheses}
+            return ((res.q_pred, res.t_pred, fc + 1), (res.q, res.t, diag))
+
+        init = (jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+                jnp.zeros(3, jnp.float32), jnp.int32(0))
+        # unroll amortises the ~0.27 ms/iteration fixed scan overhead
+        _, (qs, ts, diag) = jax.lax.scan(body, init, (preps, keys),
+                                         unroll=4)
+
+        # phase 4: pose chaining (identity for the first frame)
+        deltas = se3.make_transform(qs, ts)     # prev_T_curr per pair
+        chained = jax.lax.associative_scan(
+            lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), deltas)
+        eye = jnp.eye(4, dtype=jnp.float32)[None]
+        world = jnp.concatenate([eye, chained], axis=0)
+        return world, diag
+
+    return jax.jit(fn)
 
 
 # --------------------------------------------------------------------------

@@ -173,3 +173,78 @@ def test_bn_buffers_frozen_in_training():
         elif not same:
             moved += 1
     assert unmoved > 0 and moved > 0
+
+
+@pytest.mark.slow
+def test_online_hybrid_matches_sequence_scan(rng):
+    """The hybrid online mode (parallel frontend + sequential solver core)
+    must reproduce the pure sequential scan's trajectory — same gates, same
+    prior seeding, identical math up to RANSAC draws."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import _synthetic_sequence
+
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
+    from spsvo_tpu.parallel.sharding import (build_online_hybrid,
+                                             build_sequence_scan)
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=128, max_keypoints=256)
+    apply_fn, params = zoo.load_model(cfg.model_name_prefix)
+    frames, poses, P_l, P_r = _synthetic_sequence(rng, n_frames=6)
+    h0, w0 = frames[0][0].shape
+    P_l2 = update_projection_matrix_np(P_l, h0, w0, 120, 392)
+    P_r2 = update_projection_matrix_np(P_r, h0, w0, 120, 392)
+    imgs = np.stack([
+        np.stack([preprocess_image_np(il, 120, 392),
+                  preprocess_image_np(ir, 120, 392)])
+        for il, ir in frames])
+
+    args = (params, jnp.asarray(imgs), jnp.asarray(P_l2, jnp.float32),
+            jnp.asarray(P_r2, jnp.float32), jax.random.PRNGKey(0))
+    w_seq, _ = build_sequence_scan(apply_fn, cfg)(*args)
+    w_hyb, diag = build_online_hybrid(apply_fn, cfg)(*args)
+
+    assert w_hyb.shape == (6, 4, 4)
+    np.testing.assert_allclose(np.asarray(w_hyb[0]), np.eye(4), atol=1e-6)
+    t_seq = np.asarray(w_seq)[:, :3, 3]
+    t_hyb = np.asarray(w_hyb)[:, :3, 3]
+    # different RANSAC draws => small per-frame differences only
+    assert np.abs(t_hyb - t_seq).max() < 0.08, (t_hyb, t_seq)
+    gt = np.array([T[:3, 3] for T in poses])
+    assert np.abs(t_hyb - gt).max() < 0.25
+
+
+@pytest.mark.slow
+def test_online_hybrid_tuned_config_accuracy(rng):
+    """The bench's tuned sequential config (single-batch RANSAC, unrolled
+    LM x6, solve_slots=128) must hold the same synthetic-drive accuracy as
+    the default config."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import _synthetic_sequence
+
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
+    from spsvo_tpu.parallel.sharding import build_online_hybrid
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=128, max_keypoints=256,
+                   ransac_chunk=0, lm_unroll=6, solve_slots=128)
+    apply_fn, params = zoo.load_model(cfg.model_name_prefix)
+    frames, poses, P_l, P_r = _synthetic_sequence(rng, n_frames=6)
+    h0, w0 = frames[0][0].shape
+    P_l2 = update_projection_matrix_np(P_l, h0, w0, 120, 392)
+    P_r2 = update_projection_matrix_np(P_r, h0, w0, 120, 392)
+    imgs = np.stack([
+        np.stack([preprocess_image_np(il, 120, 392),
+                  preprocess_image_np(ir, 120, 392)])
+        for il, ir in frames])
+    w_hyb, _ = build_online_hybrid(apply_fn, cfg)(
+        params, jnp.asarray(imgs), jnp.asarray(P_l2, jnp.float32),
+        jnp.asarray(P_r2, jnp.float32), jax.random.PRNGKey(0))
+    t_hyb = np.asarray(w_hyb)[:, :3, 3]
+    gt = np.array([T[:3, 3] for T in poses])
+    assert np.abs(t_hyb - gt).max() < 0.25, (t_hyb, gt)
