@@ -59,6 +59,78 @@ def _residuals(q: jax.Array, t: jax.Array, pts3d_curr: jax.Array,
     return jnp.stack([r0, r1, r2, r3], axis=1)
 
 
+def _cross_matrix(v: jax.Array) -> jax.Array:
+    """(..., 3) -> (..., 3, 3) skew-symmetric [v]_x."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack([
+        jnp.stack([zero, -z, y], axis=-1),
+        jnp.stack([z, zero, -x], axis=-1),
+        jnp.stack([-y, x, zero], axis=-1),
+    ], axis=-2)
+
+
+def _residuals_and_jac(q: jax.Array, t: jax.Array, pts3d_curr: jax.Array,
+                       pts3d_prev: jax.Array, uv_prev_l: jax.Array,
+                       uv_prev_r: jax.Array, uv_curr_l: jax.Array,
+                       uv_curr_r: jax.Array, P_l: jax.Array, P_r: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Residuals (K, 4, 2) and their ANALYTIC Jacobian (K, 4, 2, 6) w.r.t.
+    the (rotation-tangent, translation) increment at the current pose.
+
+    The tangent is Ceres' EigenQuaternionParameterization convention
+    (se3.quat_boxplus: q ⊞ δ = dq(δ) ⊗ q with half-angle δ), i.e. a LEFT
+    perturbation R <- R(dq) R with R(dq) ≈ I + 2 [δ]_x. Hence:
+
+      forward factors  Y = R X_c + t:        ∂Y/∂δ = -2 [R X_c]_x,  ∂Y/∂t = I
+      inverse factors  Z = Rᵀ (X_p - t):     ∂Z/∂δ = 2 Rᵀ [X_p - t]_x,
+                                             ∂Z/∂t = -Rᵀ
+
+    composed with the pinhole Jacobian ∂π(A·)/∂(·) = [[1,0,-u/w],[0,1,-v/w]]/w
+    per projection matrix. ~4x fewer ops than jacfwd's 6 forward passes —
+    the unrolled-LM sequential path is op-count bound (BENCH_NOTES.md).
+    Validated against jax.jacfwd in tests/test_geometry_solvers.py.
+    """
+    R = se3.quat_to_matrix(q)
+    Y = pts3d_curr @ R.T + t                       # (K, 3)
+    Z = (pts3d_prev - t) @ R                       # (K, 3)
+
+    dY_dd = -2.0 * _cross_matrix(Y - t)            # [R X_c]_x, (K, 3, 3)
+    dZ_dd = 2.0 * jnp.einsum("ji,kjl->kil", R, _cross_matrix(pts3d_prev - t))
+
+    def factor(P, X, dX_dd, dX_dt, uv):
+        A = P[:, :3]
+        b = P[:, 3]
+        u3 = X @ A.T + b                           # (K, 3)
+        w = u3[..., 2:3]
+        w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+        pi = u3[..., :2] / w_safe
+        r = pi - uv                                # (K, 2)
+        # J_pi = [[1,0,-pi_x],[0,1,-pi_y]] / w  (K, 2, 3)
+        ones = jnp.ones_like(w[..., 0])
+        zeros = jnp.zeros_like(ones)
+        Jpi = jnp.stack([
+            jnp.stack([ones, zeros, -pi[..., 0]], axis=-1),
+            jnp.stack([zeros, ones, -pi[..., 1]], axis=-1),
+        ], axis=-2) / w_safe[..., None]
+        JA = jnp.einsum("kij,jl->kil", Jpi, A)     # (K, 2, 3)
+        Jd = jnp.einsum("kil,klm->kim", JA, dX_dd)  # (K, 2, 3)
+        if dX_dt is None:                          # identity
+            Jt = JA
+        else:
+            Jt = jnp.einsum("kil,lm->kim", JA, dX_dt) if dX_dt.ndim == 2 \
+                else jnp.einsum("kil,klm->kim", JA, dX_dt)
+        return r, jnp.concatenate([Jd, Jt], axis=-1)   # (K, 2, 6)
+
+    r0, J0 = factor(P_l, Y, dY_dd, None, uv_prev_l)
+    r1, J1 = factor(P_r, Y, dY_dd, None, uv_prev_r)
+    r2, J2 = factor(P_l, Z, dZ_dd, -R.T, uv_curr_l)
+    r3, J3 = factor(P_r, Z, dZ_dd, -R.T, uv_curr_r)
+    r = jnp.stack([r0, r1, r2, r3], axis=1)        # (K, 4, 2)
+    J = jnp.stack([J0, J1, J2, J3], axis=1)        # (K, 4, 2, 6)
+    return r, J
+
+
 def _huber_weights(r: jax.Array, delta: float) -> jax.Array:
     """IRLS weights for Huber on the squared 2-norm of each 2-residual,
     matching Ceres' rho'(s): w = min(1, delta / ||r||)."""
@@ -117,16 +189,28 @@ def refine_pose(q0: jax.Array, t0: jax.Array, pts3d_curr: jax.Array,
     def step(carry):
         q, t, lam, cost, it, done = carry
 
-        def resid_tangent(delta):
-            qd = se3.quat_boxplus(q, delta[:3])
-            td = t + delta[3:]
-            return raw_resid(qd, td).reshape(-1)
+        if unroll > 0:
+            # sequential path: op-count bound — the closed-form Jacobian is
+            # ~4x fewer ops than 6 forward-mode passes
+            r2, J4 = _residuals_and_jac(
+                q, t, pts3d_curr, pts3d_prev, uv_prev_l, uv_prev_r,
+                uv_curr_l, uv_curr_r, P_l, P_r)       # (K,4,2), (K,4,2,6)
+            r = r2.reshape(-1)
+            J = J4.reshape(-1, 6)
+        else:
+            # batched/vmapped path: jacfwd's 6 fused JVP passes vectorise
+            # better across the frame batch (measured: analytic costs ~25%
+            # end-to-end there)
+            def resid_tangent(delta):
+                qd = se3.quat_boxplus(q, delta[:3])
+                td = t + delta[3:]
+                return raw_resid(qd, td).reshape(-1)
 
-        zero = jnp.zeros(6, jnp.float32)
-        r = resid_tangent(zero)                           # (K*8,)
-        J = jax.jacfwd(resid_tangent)(zero)               # (K*8, 6)
+            zero = jnp.zeros(6, jnp.float32)
+            r = resid_tangent(zero)                       # (K*8,)
+            J = jax.jacfwd(resid_tangent)(zero)           # (K*8, 6)
+            r2 = r.reshape(K, 4, 2)
 
-        r2 = r.reshape(K, 4, 2)
         w = _huber_weights(r2, huber_delta) * mask        # (K, 4)
         wflat = jnp.repeat(w.reshape(-1), 2)              # (K*8,)
 

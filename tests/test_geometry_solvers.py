@@ -255,3 +255,30 @@ def test_ransac_adaptive_quality_with_outliers(rng):
     assert int(res.n_hypotheses) <= 256
     ang, terr = _pose_error(res.q, res.t, R, t)
     assert ang < 0.01 and terr < 0.1, (ang, terr)
+
+
+def test_analytic_jacobian_matches_jacfwd(rng):
+    """lm._residuals_and_jac's closed-form Jacobian must equal forward-mode
+    AD through quat_boxplus at the same linearisation point."""
+    from spsvo_tpu.ops.lm import _residuals, _residuals_and_jac
+    data, R, t = _vo_frame(rng, n=40, k_pad=40, noise=0.2)
+    q = Rotation.from_matrix(R).as_quat().astype(np.float32)
+    q = jnp.asarray(q); tv = jnp.asarray(t, jnp.float32)
+    args = (jnp.asarray(data["pts3d_curr"]), jnp.asarray(data["pts3d_prev"]),
+            jnp.asarray(data["uv_prev_l"]), jnp.asarray(data["uv_prev_r"]),
+            jnp.asarray(data["uv_curr_l"]), jnp.asarray(data["uv_curr_r"]),
+            jnp.asarray(P_L, jnp.float32), jnp.asarray(P_R, jnp.float32))
+
+    def resid_tangent(delta):
+        qd = se3.quat_boxplus(q, delta[:3])
+        td = tv + delta[3:]
+        return _residuals(qd, td, *args).reshape(-1)
+
+    J_ad = np.asarray(jax.jacfwd(resid_tangent)(jnp.zeros(6, jnp.float32)))
+    r, J = _residuals_and_jac(q, tv, *args)
+    np.testing.assert_allclose(np.asarray(r).reshape(-1),
+                               np.asarray(resid_tangent(
+                                   jnp.zeros(6, jnp.float32))),
+                               atol=1e-3)  # fp32 association noise
+    np.testing.assert_allclose(np.asarray(J).reshape(-1, 6), J_ad,
+                               rtol=2e-3, atol=2e-3)
