@@ -223,6 +223,27 @@ SWEEP_BATCH_SIZES = (1, 2)
 SWEEP_PRECISIONS = (Precision.FP32, Precision.BF16)
 
 
+def classic_sweep_configs(base: Optional[VOConfig] = None) -> list[VOConfig]:
+    """The reference benchmarks 6 classic configs alongside the 72 NN engines
+    (report §4.1.2: "72 engines for the SuperPoint family, and 6 engines for
+    the classical approach"). Enumerated as each classic detector paired with
+    its natural descriptor (detector-only families use ORB descriptors, the
+    launch default — visual_odometry_classic.launch)."""
+    base = base or VOConfig()
+    pairs = [
+        (DetectorType.SHI_TOMASI, DescriptorType.ORB),
+        (DetectorType.FAST, DescriptorType.ORB),
+        (DetectorType.ORB, DescriptorType.ORB),
+        (DetectorType.BRISK, DescriptorType.BRISK),
+        (DetectorType.AKAZE, DescriptorType.AKAZE),
+        (DetectorType.SIFT, DescriptorType.SIFT),
+    ]
+    return [dataclasses.replace(
+        base, is_classic=True, detector_type=det, descriptor_type=desc,
+        image_height=0, image_width=0)  # native res (launch default)
+        for det, desc in pairs]
+
+
 def sweep_configs(base: Optional[VOConfig] = None) -> list[VOConfig]:
     """Enumerate the 72-config NN sweep (reference engine_generation.py grid)."""
     base = base or VOConfig()

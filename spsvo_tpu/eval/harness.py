@@ -160,7 +160,11 @@ def run_sweep(frames_fn, P_l: np.ndarray, P_r: np.ndarray,
     results = []
     for cfg in (configs or sweep_configs()):
         try:
-            vo = VisualOdometry(cfg)
+            if cfg.is_classic:
+                from spsvo_tpu.frontend_classic import ClassicVisualOdometry
+                vo = ClassicVisualOdometry(cfg)
+            else:
+                vo = VisualOdometry(cfg)
             frames = list(frames_fn())[:max_frames]
             res = run_sequence(vo, frames, P_l, P_r)
             row = {

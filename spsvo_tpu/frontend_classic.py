@@ -30,19 +30,33 @@ from spsvo_tpu.ops import image as image_ops
 from spsvo_tpu.pipeline import Keypoints, VOState, features_step, init_state
 
 
+def _cv2_factory(name: str):
+    """cv2 factory lookup with a clear error for algorithms absent from the
+    installed build (opencv 5 dropped BRISK/AKAZE from some distributions;
+    the sweep records these per-config, like the reference skipping absent
+    engines)."""
+    import cv2
+    fn = getattr(cv2, name, None)
+    if fn is None:
+        raise NotImplementedError(
+            f"cv2.{name} unavailable in this OpenCV build "
+            f"({cv2.__version__})")
+    return fn
+
+
 def make_detector(detector_type: DetectorType):
     """OpenCV detector factory with the reference's exact parameters
     (feature_detection_classic.cpp:7-52)."""
     import cv2
     if detector_type == DetectorType.BRISK:
-        return cv2.BRISK_create()
+        return _cv2_factory("BRISK_create")()
     if detector_type == DetectorType.ORB:
         return cv2.ORB_create(
             nfeatures=2000, scaleFactor=1.2, nlevels=8, edgeThreshold=31,
             firstLevel=0, WTA_K=2, scoreType=cv2.ORB_FAST_SCORE,
             patchSize=31, fastThreshold=20)
     if detector_type == DetectorType.AKAZE:
-        return cv2.AKAZE_create()
+        return _cv2_factory("AKAZE_create")()
     if detector_type == DetectorType.SIFT:
         return cv2.SIFT_create()
     if detector_type == DetectorType.FAST:
@@ -56,11 +70,11 @@ def make_extractor(descriptor_type: DescriptorType):
     """OpenCV descriptor factory (feature_detection_classic.cpp:54-79)."""
     import cv2
     if descriptor_type == DescriptorType.BRISK:
-        return cv2.BRISK_create(30, 3, 1.0)
+        return _cv2_factory("BRISK_create")(30, 3, 1.0)
     if descriptor_type == DescriptorType.ORB:
         return cv2.ORB_create()
     if descriptor_type == DescriptorType.AKAZE:
-        return cv2.AKAZE_create()
+        return _cv2_factory("AKAZE_create")()
     if descriptor_type == DescriptorType.SIFT:
         return cv2.SIFT_create()
     raise ValueError(f"descriptor {descriptor_type} not implemented")
@@ -68,12 +82,22 @@ def make_extractor(descriptor_type: DescriptorType):
 
 def _pack_features(kps, descs, k: int, binary: bool, desc_dim: int
                    ) -> Keypoints:
-    """Pad host features into the fixed-capacity Keypoints layout."""
+    """Pad host features into the fixed-capacity Keypoints layout.
+
+    Over-capacity truncation keeps the STRONGEST keypoints by response —
+    detectors like FAST return scan order, and naive first-K truncation
+    would keep only the top image band (degenerate geometry downstream).
+    Mirrors cv::KeyPointsFilter::retainBest semantics.
+    """
     n = min(len(kps), k)
     xy = np.zeros((k, 2), np.float32)
     score = np.zeros((k,), np.float32)
     valid = np.zeros((k,), bool)
     d = np.zeros((k, desc_dim), np.float32)
+    if len(kps) > k:
+        order = np.argsort([-kp.response for kp in kps], kind="stable")[:k]
+        kps = [kps[i] for i in order]
+        descs = descs[order]
     if n:
         xy[:n] = np.array([kp.pt for kp in kps[:n]], np.float32)
         score[:n] = np.array([kp.response for kp in kps[:n]], np.float32)

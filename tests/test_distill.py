@@ -1,0 +1,61 @@
+"""Distillation machinery: augmentation, losses, end-to-end smoke."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spsvo_tpu import distill as D
+
+
+def test_augment_batch_shapes_and_range(rng):
+    frames = jnp.asarray(rng.random((4, 96, 160), np.float32))
+    out = D.augment_batch(jax.random.PRNGKey(0), frames, batch=6, h=48, w=96)
+    assert out.shape == (6, 48, 96, 1)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    # different keys must produce different crops/warps
+    out2 = D.augment_batch(jax.random.PRNGKey(1), frames, batch=6, h=48, w=96)
+    assert float(jnp.abs(out - out2).max()) > 1e-3
+
+
+def test_distill_loss_zero_for_identical_teacher():
+    """A student that exactly reproduces the teacher's outputs has zero
+    descriptor loss and KL equal to 0."""
+    B, hc, wc = 2, 4, 6
+    rng = np.random.default_rng(0)
+    det = jnp.asarray(rng.normal(size=(B, hc, wc, 65)).astype(np.float32))
+    desc = rng.normal(size=(B, hc, wc, 256)).astype(np.float32)
+    desc = jnp.asarray(desc / np.linalg.norm(desc, axis=-1, keepdims=True))
+
+    def student_fn(params, x):
+        return {"output_det": det, "output_desc": desc}
+
+    loss, aux = D.distill_loss(student_fn, {}, det, desc,
+                               jnp.zeros((B, 32, 48, 1)))
+    assert float(aux["desc_cos"]) == pytest.approx(0.0, abs=1e-5)
+    assert float(aux["det_kl"]) == pytest.approx(0.0, abs=1e-5)
+
+
+@pytest.mark.slow
+def test_distill_reduces_loss_quickly(rng):
+    frames = rng.random((5, 64, 160)).astype(np.float32)
+    params, hist = D.distill("superpoint_pretrained", steps=12, batch=2,
+                             h=32, w=96, holdout=2, log_every=4,
+                             frames=frames, log=lambda *a: None)
+    assert hist[-1]["loss"] < 0.5 * hist[0]["loss"], hist
+    assert {"precision", "recall", "mean_keypoints"} <= set(hist[-1])
+
+
+def test_sparsity_term_increases_loss():
+    B, hc, wc = 1, 2, 2
+    det = jnp.zeros((B, hc, wc, 65))
+    desc = jnp.ones((B, hc, wc, 256)) / 16.0
+    params = {"conv.weight": jnp.ones((3, 3, 1, 8))}
+
+    def student_fn(p, x):
+        return {"output_det": det, "output_desc": desc}
+
+    l0, _ = D.distill_loss(student_fn, params, det, desc,
+                           jnp.zeros((B, 16, 16, 1)), sparsity=0.0)
+    l1, _ = D.distill_loss(student_fn, params, det, desc,
+                           jnp.zeros((B, 16, 16, 1)), sparsity=1e-2)
+    assert float(l1) > float(l0)

@@ -127,3 +127,76 @@ def test_run_sweep_accuracy_columns(tmp_path):
     for k in ("fps", "ate_m", "final_drift_percent", "rpe_trans_rmse_m"):
         assert k in rows[0], rows[0]
     assert rows[0]["final_drift_percent"] < 15.0, rows[0]
+
+
+@pytest.mark.slow
+def test_run_eval_id_on_fake_kitti_tree(tmp_path):
+    """End-to-end eval-harness path on a KITTI-odometry-layout directory
+    built from a synthetic drive: run_eval_id must read calib + frames,
+    drive the real pipeline, write the KITTI pose file and latency CSV,
+    and the poses must score well against the synthetic ground truth."""
+    import cv2
+
+    from spsvo_tpu.eval import metrics
+    from spsvo_tpu.eval.synthetic import synthetic_drive
+    from spsvo_tpu.io import kitti
+    from spsvo_tpu.pipeline import VisualOdometry
+
+    rng = np.random.default_rng(11)
+    frames, poses, P_l, P_r = synthetic_drive(rng, n_frames=6)
+
+    seq = tmp_path / "sequences" / "00"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir(parents=True)
+    for i, (il, ir) in enumerate(frames):
+        cv2.imwrite(str(seq / "image_0" / f"{i:06d}.png"), il)
+        cv2.imwrite(str(seq / "image_1" / f"{i:06d}.png"), ir)
+    with open(seq / "calib.txt", "w") as f:
+        f.write("P0: " + " ".join(str(v) for v in P_l.reshape(-1)) + "\n")
+        f.write("P1: " + " ".join(str(v) for v in P_r.reshape(-1)) + "\n")
+    gt_file = tmp_path / "00_gt.txt"
+    kitti.write_kitti_poses(str(gt_file), poses)
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=64, max_keypoints=128)
+    vo = VisualOdometry(cfg)
+    res = harness.run_eval_id(
+        vo, str(tmp_path), kitti_eval_id=0,
+        results_dir=str(tmp_path / "kitti_results"),
+        latency_dir=str(tmp_path / "kitti_latency_csvs"),
+        description="faketest", max_frames=6)
+    assert len(res.poses) == 6
+
+    pred = tmp_path / "kitti_results" / "faketest" / \
+        kitti.result_filename(0)
+    assert pred.exists()
+    scores = harness.score_against_ground_truth(res.poses, str(gt_file))
+    assert scores["ate_m"] < 0.15, scores
+    csvs = list((tmp_path / "kitti_latency_csvs").rglob("*.csv"))
+    assert len(csvs) == 1
+
+
+def test_classic_sweep_configs_enumeration():
+    from spsvo_tpu.config import classic_sweep_configs
+    cfgs = classic_sweep_configs()
+    assert len(cfgs) == 6  # report §4.1.2: 72 NN + 6 classic = 78
+    assert all(c.is_classic for c in cfgs)
+    assert len({c.config_string for c in cfgs}) == 6
+
+
+@pytest.mark.slow
+def test_run_sweep_classic_config(tmp_path, rng):
+    """run_sweep must route classic configs through the OpenCV front end."""
+    import dataclasses as dc
+
+    from spsvo_tpu.config import classic_sweep_configs
+    from spsvo_tpu.eval.synthetic import synthetic_drive
+    rng2 = np.random.default_rng(5)
+    frames, poses, P_l, P_r = synthetic_drive(rng2, n_frames=4)
+    cfg = dc.replace(classic_sweep_configs()[0], max_keypoints=256,
+                     ransac_iterations=64)  # ShiTomasi/ORB
+    rows = harness.run_sweep(lambda: list(frames), P_l, P_r, configs=[cfg],
+                             out_json=str(tmp_path / "s.json"),
+                             gt_poses=poses, max_frames=4)
+    assert "error" not in rows[0], rows[0]
+    assert rows[0]["final_drift_percent"] < 10.0, rows[0]

@@ -1,0 +1,51 @@
+"""Run the full 72-config sweep (the reference's engine grid) on the TPU.
+
+Mirrors the reference's 72-engine benchmark (6 backbones x 3 resolutions x
+2 precisions x 2 batch sizes, scripts/engine_generation.py:25-31 + the
+long_term_eval harness) with latency AND accuracy columns per config
+(report §4.2's accuracy-vs-config study): frames come from a hermetic
+synthetic drive with known ground truth, so every row carries FPS, ATE,
+final drift and RPE.
+
+Writes docs/sweep_results.json. Run: python tools/run_sweep_tpu.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import spsvo_tpu  # noqa: E402
+from spsvo_tpu.eval import harness  # noqa: E402
+from spsvo_tpu.eval.synthetic import synthetic_drive  # noqa: E402
+
+
+def main() -> None:
+    rng = np.random.default_rng(42)
+    n_frames = int(os.environ.get("SWEEP_FRAMES", "12"))
+    frames, poses, P_l, P_r = synthetic_drive(rng, n_frames=n_frames)
+
+    docs = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs")
+    os.makedirs(docs, exist_ok=True)
+    out = os.path.join(docs, "sweep_results.json")
+
+    t0 = time.time()
+    rows = harness.run_sweep(lambda: list(frames), P_l, P_r,
+                             out_json=out, gt_poses=poses,
+                             max_frames=n_frames)
+    ok = [r for r in rows if "error" not in r]
+    print(f"{len(ok)}/{len(rows)} configs ok in {time.time()-t0:.0f}s "
+          f"-> {out}")
+    for r in rows:
+        if "error" in r:
+            print("FAILED:", r["config"], r["error"][:200])
+
+
+if __name__ == "__main__":
+    main()
