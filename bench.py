@@ -109,7 +109,8 @@ def main():
                                              build_sequence_scan, make_mesh)
 
     cfg = VOConfig(model_name_prefix="sp_mbv1", image_height=120,
-                   image_width=392, max_keypoints=512, ransac_iterations=256)
+                   image_width=392, max_keypoints=512, ransac_iterations=256,
+                   use_pallas_matcher=True)
     # sequential-mode tuning: one exhaustive RANSAC batch and a fixed
     # unrolled LM — every while/scan iteration costs ~0.27 ms of fixed
     # runtime overhead on this TPU (BENCH_NOTES.md), so sequential paths

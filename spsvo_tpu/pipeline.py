@@ -106,7 +106,8 @@ def superpoint_frontend(apply_fn, params, images: jax.Array, cfg: VOConfig
 def _match(a: Keypoints, b: Keypoints, cfg: VOConfig,
            binary: bool = False) -> matching.MatchResult:
     if (cfg.use_pallas_matcher and not binary
-            and cfg.selector_type == SelectorType.NN and cfg.cross_check):
+            and cfg.selector_type == SelectorType.NN and cfg.cross_check
+            and jax.default_backend() == "tpu"):  # XLA fallback elsewhere
         from spsvo_tpu.ops.matching_pallas import match_nn_pallas
         idx, dist2 = match_nn_pallas(a.desc, a.valid, b.desc, b.valid)
         return matching.MatchResult(idx=idx, dist2=dist2)
@@ -128,7 +129,9 @@ def match_stage(state: VOState, kp_l: Keypoints, kp_r: Keypoints, *,
     (K, 2K) MXU matmul against the concatenated targets — half the matmul
     dispatches of two separate calls, identical selection semantics.
     """
-    if not binary_desc and not cfg.use_pallas_matcher:
+    pallas_active = (cfg.use_pallas_matcher
+                     and jax.default_backend() == "tpu")
+    if not binary_desc and not pallas_active:
         k = kp_r.desc.shape[0]
         desc_cat = jnp.concatenate([kp_r.desc, state.prev_left.desc], axis=0)
         dist = matching.l2_distance_sq(kp_l.desc, desc_cat)   # (K, 2K)

@@ -58,7 +58,8 @@ def flagship_tpu() -> VOConfig:
         model_name_prefix="sp_mbv1",
         model_batch_size=2,
         image_height=120, image_width=392,
-        max_keypoints=512)
+        max_keypoints=512,
+        use_pallas_matcher=True)  # fused VMEM matcher (XLA fallback off-TPU)
 
 
 def main_config(is_classic: bool = False, is_jetson: bool = False

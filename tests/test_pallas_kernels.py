@@ -38,12 +38,17 @@ def test_pallas_matcher_all_invalid(rng):
 
 
 def test_pipeline_flag_uses_pallas(monkeypatch, rng):
-    """use_pallas_matcher=True must route through the kernel and produce the
-    same match maps in the pipeline."""
+    """use_pallas_matcher=True must route through the kernel ON TPU (here
+    simulated by patching the backend query; the kernel itself runs in
+    interpret mode) and produce the same match maps; on any other backend it
+    must transparently fall back to the XLA path."""
     import dataclasses
+
+    import jax as jax_mod
 
     from spsvo_tpu.config import VOConfig
     from spsvo_tpu.ops import matching_pallas
+    from spsvo_tpu import pipeline as pipeline_mod
     from spsvo_tpu.pipeline import Keypoints, _match
 
     calls = []
@@ -61,6 +66,15 @@ def test_pipeline_flag_uses_pallas(monkeypatch, rng):
     cfg = VOConfig(model_name_prefix="sp_mbv1", max_keypoints=128)
     ref = _match(kp, kp, cfg)
     cfg_p = dataclasses.replace(cfg, use_pallas_matcher=True)
+
+    # off-TPU: the flag is a no-op (XLA fallback), kernel NOT invoked
+    out_cpu = _match(kp, kp, cfg_p)
+    assert not calls, "pallas kernel must not run off-TPU"
+    np.testing.assert_array_equal(np.asarray(out_cpu.idx),
+                                  np.asarray(ref.idx))
+
+    # "on TPU": backend query patched; kernel must be invoked and agree
+    monkeypatch.setattr(pipeline_mod.jax, "default_backend", lambda: "tpu")
     out = _match(kp, kp, cfg_p)
     assert calls, "pallas kernel was not invoked"
     np.testing.assert_array_equal(np.asarray(out.idx), np.asarray(ref.idx))
