@@ -154,7 +154,7 @@ def main():
     # adaptive-confidence loop keeps the 500-iteration budget cheap.
     try:
         cfg_par = dataclasses.replace(cfg, ransac_iterations=500,
-                                      max_keypoints=1024)
+                                      max_keypoints=1024, solve_slots=1024)
         par_fn = build_batch_vo(apply_fn, cfg_par, mesh)
         fps_par, diags_par = _measure(
             par_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES, reps=3)

@@ -75,14 +75,18 @@ def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
             T, info = vo.process_instrumented(il, ir, P_l, P_r)
             total = info["stages_ms"]["total"]
             latencies.append(dict(info["stages_ms"]))
+            if verbose:
+                diags.append({k: np.asarray(v).item() for k, v in
+                              info["output"].diagnostics.items()})
         else:
             T, info = vo.process(il, ir, P_l, P_r, want_diagnostics=verbose)
             total = (time.perf_counter() - t0) * 1000.0
             # fused single program: stage split not observable per frame
             latencies.append({"detect": 0.0, "match": 0.0, "solve": 0.0,
                               "total": total})
-        if verbose and not instrument_stages:
-            diags.append({k: v for k, v in info.items() if k != "output"})
+            if verbose:
+                diags.append({k: v for k, v in info.items()
+                              if k != "output"})
         if total > vo.cfg.latency_warn_ms:
             print(f"warning: frame {i} took {total:.1f} ms "
                   f"(> {vo.cfg.latency_warn_ms} ms budget)")
@@ -176,10 +180,16 @@ def run_sweep(frames_fn, P_l: np.ndarray, P_r: np.ndarray,
                 n = min(len(res.poses), len(gt_poses))
                 gt_t = gt_poses[n - 1][:3, 3]
                 est_t = res.poses[n - 1][:3, 3]
+                # normalise final-pose error by DISTANCE TRAVELLED (KITTI
+                # convention), not net displacement — the two only coincide
+                # on near-straight drives; a closed loop would otherwise
+                # divide by ~0.
+                path_len = metrics_mod.trajectory_distances(
+                    gt_poses[:n])[-1]
                 row["ate_m"] = metrics_mod.ate(gt_poses[:n], res.poses[:n])
                 row["final_drift_percent"] = float(
                     100.0 * np.linalg.norm(est_t - gt_t)
-                    / max(np.linalg.norm(gt_t), 1e-9))
+                    / max(path_len, 1e-9))
                 row.update(metrics_mod.rpe(gt_poses[:n], res.poses[:n]))
             results.append(row)
         except Exception as e:  # record and continue the grid

@@ -115,11 +115,9 @@ def _residuals_and_jac(q: jax.Array, t: jax.Array, pts3d_curr: jax.Array,
         ], axis=-2) / w_safe[..., None]
         JA = jnp.einsum("kij,jl->kil", Jpi, A)     # (K, 2, 3)
         Jd = jnp.einsum("kil,klm->kim", JA, dX_dd)  # (K, 2, 3)
-        if dX_dt is None:                          # identity
-            Jt = JA
-        else:
-            Jt = jnp.einsum("kil,lm->kim", JA, dX_dt) if dX_dt.ndim == 2 \
-                else jnp.einsum("kil,klm->kim", JA, dX_dt)
+        # dX_dt is None (identity, forward factors) or the constant -R^T
+        # (inverse factors)
+        Jt = JA if dX_dt is None else jnp.einsum("kil,lm->kim", JA, dX_dt)
         return r, jnp.concatenate([Jd, Jt], axis=-1)   # (K, 2, 6)
 
     r0, J0 = factor(P_l, Y, dY_dd, None, uv_prev_l)

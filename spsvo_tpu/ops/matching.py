@@ -113,6 +113,18 @@ def match_ratio(dist: jax.Array, valid0: jax.Array, valid1: jax.Array,
     return MatchResult(idx=idx, dist2=d0)
 
 
+def select_matches(dist: jax.Array, valid0: jax.Array, valid1: jax.Array, *,
+                   use_ratio_test: bool = False, cross_check: bool = True,
+                   ratio: float = 0.8, squared: bool = True) -> MatchResult:
+    """Selection over a precomputed distance matrix — the single dispatch
+    point for NN-crosscheck vs KNN-ratio semantics, shared by
+    `match_descriptors` and callers that batch several pairs' distances into
+    one matmul (pipeline.match_stage)."""
+    if use_ratio_test:
+        return match_ratio(dist, valid0, valid1, ratio, squared=squared)
+    return match_nn(dist, valid0, valid1, cross_check)
+
+
 def match_descriptors(desc0: jax.Array, valid0: jax.Array, desc1: jax.Array,
                       valid1: jax.Array, *, use_ratio_test: bool = False,
                       cross_check: bool = True, ratio: float = 0.8,
@@ -128,6 +140,7 @@ def match_descriptors(desc0: jax.Array, valid0: jax.Array, desc1: jax.Array,
         dist = hamming_distance(desc0, desc1)
     else:
         dist = l2_distance_sq(desc0, desc1)
-    if use_ratio_test:
-        return match_ratio(dist, valid0, valid1, ratio, squared=not binary)
-    return match_nn(dist, valid0, valid1, cross_check)
+    return select_matches(dist, valid0, valid1,
+                          use_ratio_test=use_ratio_test,
+                          cross_check=cross_check, ratio=ratio,
+                          squared=not binary)

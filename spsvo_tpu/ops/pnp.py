@@ -158,7 +158,7 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
         return num / jnp.log1p(-w3)
 
     def cond(carry):
-        i, best_count, _, _, _ = carry
+        i, best_count, _, _, _, _ = carry
         done_budget = i * chunk >= iterations
         if confidence >= 1.0:
             return ~done_budget
@@ -166,7 +166,7 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
                                < n_required(best_count))
 
     def body(carry):
-        i, best_count, R_b, t_b, inl_b = carry
+        i, best_count, from_prior, R_b, t_b, inl_b = carry
         ids = jax.lax.dynamic_slice_in_dim(idx, i * chunk, chunk)  # (C, 3)
         src = pts3d_curr[ids]                                       # (C, 3, 3)
         dst = pts3d_prev[ids]
@@ -174,27 +174,36 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
         R_h = se3.quat_to_matrix(q_h)
         inl = score(R_h, t_h)                                       # (C, K)
         counts = jnp.sum(inl, axis=-1)
+        # lanes beyond the `iterations` budget (final-chunk padding when
+        # iterations % chunk != 0) never win
+        in_budget = i * chunk + jnp.arange(chunk) < iterations
+        counts = jnp.where(in_budget, counts, -1)
         j = jnp.argmax(counts)
-        better = counts[j] > best_count   # strict: earliest best wins ties
+        # tie-breaking mirrors the fixed-batch argmax over
+        # [sampled..., prior]: a sampled hypothesis beats the prior seed on
+        # ties (the prior lane came last in round 1's concatenation), while
+        # chunks stay strictly earliest-wins among themselves.
+        better = jnp.where(from_prior, counts[j] >= best_count,
+                           counts[j] > best_count)
         best_count = jnp.where(better, counts[j], best_count)
         R_b = jnp.where(better, R_h[j], R_b)
         t_b = jnp.where(better, t_h[j], t_b)
         inl_b = jnp.where(better, inl[j], inl_b)
-        return i + 1, best_count, R_b, t_b, inl_b
+        return i + 1, best_count, from_prior & ~better, R_b, t_b, inl_b
 
-    init = (jnp.int32(0), jnp.sum(inl_prior), R_prior,
+    init = (jnp.int32(0), jnp.sum(inl_prior), jnp.asarray(True), R_prior,
             t_prior.astype(jnp.float32), inl_prior)
     if single_batch:
         # exhaustive one-shot batch: on sequential paths (whole-sequence
         # scans) each while_loop iteration costs ~0.27 ms of fixed runtime
         # overhead on this TPU — one full-budget batch is cheaper than any
         # adaptive loop there, and is the confidence>=1 semantics.
-        _, _, R_best, t_best, best_inl = body(init)
+        _, _, _, R_best, t_best, best_inl = body(init)
         n_hypotheses = jnp.int32(iterations)
     else:
-        n_done, _, R_best, t_best, best_inl = jax.lax.while_loop(
+        n_done, _, _, R_best, t_best, best_inl = jax.lax.while_loop(
             cond, body, init)
-        n_hypotheses = n_done * chunk
+        n_hypotheses = jnp.minimum(n_done * chunk, iterations)
 
     # local optimisation: weighted Kabsch re-fit on inliers, then recount —
     # two rounds, the batched analogue of USAC's LO step. Trace-unrolled:

@@ -61,6 +61,7 @@ class SolveResult(NamedTuple):
     accel_anomaly: jax.Array
     lm_improved: jax.Array
     n_ransac_hypotheses: jax.Array   # evaluated before adaptive exit
+    chain_truncated: jax.Array       # solve_slots dropped valid chain matches
 
 
 def build_chain(xy_curr_l, xy_curr_r, valid_curr_l, valid_curr_r,
@@ -101,6 +102,8 @@ class PreparedSolve(NamedTuple):
     uv_prev_r: jax.Array      # (L, 2)
     chain: jax.Array          # (L,) bool
     sel: jax.Array            # (L,) int32 source slots (for scatter-back)
+    num_chain_total: jax.Array  # scalar: chain survivors BEFORE compaction
+    # (> sum(chain) means solve_slots truncated the chain — diagnosable)
 
 
 def prepare_solve(inputs: SolveInputs, P_l: jax.Array, P_r: jax.Array,
@@ -138,7 +141,8 @@ def prepare_solve(inputs: SolveInputs, P_l: jax.Array, P_r: jax.Array,
     pts3d_curr = jnp.where(chain[:, None], pts3d_curr, 0.0)
     pts3d_prev = jnp.where(chain[:, None], pts3d_prev, 0.0)
     return PreparedSolve(pts3d_curr, pts3d_prev, xy_curr_l, xy_curr_r,
-                         xy_prev_l, xy_prev_r, chain, sel)
+                         xy_prev_l, xy_prev_r, chain, sel,
+                         jnp.sum(chain_full).astype(jnp.int32))
 
 
 def solve_stereo_odometry(key: jax.Array, inputs: SolveInputs,
@@ -222,4 +226,5 @@ def solve_prepared(key: jax.Array, prep: PreparedSolve, P_l: jax.Array,
         num_chain=jnp.sum(chain).astype(jnp.int32),
         num_inliers=res.num_inliers,
         pnp_success=res.success, accel_anomaly=accel_anomaly,
-        lm_improved=lm_improved, n_ransac_hypotheses=res.n_hypotheses)
+        lm_improved=lm_improved, n_ransac_hypotheses=res.n_hypotheses,
+        chain_truncated=prep.num_chain_total > chain.shape[0])

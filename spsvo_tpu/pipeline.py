@@ -135,18 +135,13 @@ def match_stage(state: VOState, kp_l: Keypoints, kp_r: Keypoints, *,
         k = kp_r.desc.shape[0]
         desc_cat = jnp.concatenate([kp_r.desc, state.prev_left.desc], axis=0)
         dist = matching.l2_distance_sq(kp_l.desc, desc_cat)   # (K, 2K)
-        if cfg.selector_type == SelectorType.KNN:
-            m_stereo = matching.match_ratio(dist[:, :k], kp_l.valid,
-                                            kp_r.valid, cfg.knn_threshold)
-            m_inter = matching.match_ratio(dist[:, k:], kp_l.valid,
-                                           state.prev_left.valid,
-                                           cfg.knn_threshold)
-        else:
-            m_stereo = matching.match_nn(dist[:, :k], kp_l.valid, kp_r.valid,
-                                         cfg.cross_check)
-            m_inter = matching.match_nn(dist[:, k:], kp_l.valid,
-                                        state.prev_left.valid,
-                                        cfg.cross_check)
+        sel_kw = dict(
+            use_ratio_test=(cfg.selector_type == SelectorType.KNN),
+            cross_check=cfg.cross_check, ratio=cfg.knn_threshold)
+        m_stereo = matching.select_matches(dist[:, :k], kp_l.valid,
+                                           kp_r.valid, **sel_kw)
+        m_inter = matching.select_matches(dist[:, k:], kp_l.valid,
+                                          state.prev_left.valid, **sel_kw)
     else:
         m_stereo = _match(kp_l, kp_r, cfg, binary=binary_desc)
         m_inter = _match(kp_l, state.prev_left, cfg, binary=binary_desc)
@@ -200,6 +195,7 @@ def solve_stage(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
         "accel_anomaly": res.accel_anomaly,
         "lm_improved": res.lm_improved,
         "n_ransac_hypotheses": res.n_ransac_hypotheses,
+        "chain_truncated": res.chain_truncated,
     }
     out = VOStepOutput(
         T_curr_prev=T, keypoints_left=kp_l, keypoints_right=kp_r,
