@@ -188,6 +188,20 @@ def main():
     except Exception as e:
         log(f"bf16 aux run failed: {e}")
 
+    # ---- aux: int8 trunk with static calibrated activation scales ---------
+    try:
+        calib = frames[:8].reshape(-1, cfg.image_height,
+                                   cfg.image_width)[..., None]
+        apply8, params8 = zoo.load_model(cfg.model_name_prefix, int8=True,
+                                         int8_calibration=calib)
+        cfg8 = dataclasses.replace(cfg, precision=Precision.INT8)
+        b8 = build_batch_vo(apply8, cfg8, mesh)
+        fps8, _ = _measure_pipelined(
+            b8, (params8, images, P_l_j, P_r_j, key), N_FRAMES)
+        log(f"throughput int8 static-calibrated (sustained): {fps8:.1f} FPS")
+    except Exception as e:
+        log(f"int8 aux run failed: {e}")
+
     print(json.dumps({
         "metric": "stereo_vo_fps",
         "value": round(fps, 2),

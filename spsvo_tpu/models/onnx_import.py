@@ -246,7 +246,8 @@ def build_params(graph: OnnxGraph) -> Dict[str, np.ndarray]:
     return params
 
 
-def _conv(x, w, b, node: OnnxNode, compute_dtype, w_scale=None):
+def _conv(x, w, b, node: OnnxNode, compute_dtype, w_scale=None,
+          a_scale=None):
     pads = node.attr("pads", [0, 0, 0, 0])
     strides = [int(s) for s in node.attr("strides", [1, 1])]
     dilations = [int(d) for d in node.attr("dilations", [1, 1])]
@@ -255,7 +256,7 @@ def _conv(x, w, b, node: OnnxNode, compute_dtype, w_scale=None):
     if w.dtype == jnp.int8:
         from spsvo_tpu.models.quantize import int8_conv
         y = int8_conv(x.astype(jnp.float32), w, w_scale, strides, padding,
-                      dilations, groups)
+                      dilations, groups, a_scale)
     else:
         y = jax.lax.conv_general_dilated(
             x.astype(compute_dtype), w.astype(compute_dtype),
@@ -281,13 +282,18 @@ def _maxpool(x, node: OnnxNode):
         padding=padding)
 
 
-def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32):
+def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32,
+               capture_conv_inputs: bool = False):
     """Build `apply(params, x_nhwc) -> dict[name, array]` from the graph.
 
     `x_nhwc` is (B, H, W, C) float32 in [0, 1]. Outputs are NHWC as well; the
     channel axis of ONNX NCHW attrs is remapped to -1. The convolution trunk
     runs in `compute_dtype` (bf16 mirrors the reference's FP16 engines) with
     fp32 accumulation; head outputs are fp32.
+
+    `capture_conv_inputs=True` makes apply return
+    `(outputs, {conv_weight_name: absmax_of_its_input})` — the hook int8
+    static calibration uses (quantize.calibrate_activation_scales).
     """
     nodes = list(graph.nodes)
     output_names = list(graph.output_names)
@@ -325,8 +331,9 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32):
         fused.append(node)
     nodes = fused
 
-    def apply(params: Dict[str, jax.Array], x: jax.Array) -> Dict[str, jax.Array]:
+    def apply(params: Dict[str, jax.Array], x: jax.Array):
         env: Dict[str, jax.Array] = {graph.input_names[0]: x}
+        conv_absmax: Dict[str, jax.Array] = {}
 
         def get(name: str) -> jax.Array:
             if name in env:
@@ -338,8 +345,13 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32):
                 w = params[node.inputs[1]]
                 b = params.get(node.inputs[2]) if len(node.inputs) > 2 else None
                 w_scale = params.get(f"{node.inputs[1]}#scale")
-                y = _conv(get(node.inputs[0]), w, b, node, compute_dtype,
-                          w_scale)
+                a_scale = params.get(f"{node.inputs[1]}#ascale")
+                xin = get(node.inputs[0])
+                if capture_conv_inputs:
+                    conv_absmax[node.inputs[1]] = jnp.max(
+                        jnp.abs(xin.astype(jnp.float32)))
+                y = _conv(xin, w, b, node, compute_dtype,
+                          w_scale, a_scale)
             elif node.op == "Relu":
                 y = jnp.maximum(get(node.inputs[0]), 0)
             elif node.op == "Clip":
@@ -391,7 +403,11 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32):
                 raise NotImplementedError(f"ONNX op {node.op} not supported")
             env[node.outputs[0]] = y
 
-        return {name: env[name].astype(jnp.float32) for name in output_names}
+        outputs = {name: env[name].astype(jnp.float32)
+                   for name in output_names}
+        if capture_conv_inputs:
+            return outputs, conv_absmax
+        return outputs
 
     return apply
 

@@ -8,9 +8,17 @@ an int8 x int8 -> int32 contraction on the MXU, then dequantizes into fp32
 for bias/BN/ReLU (which XLA fuses). Heads and normalisation stay fp32 — the
 descriptor L2-norm and detector softmax are precision-critical.
 
-This is weight/activation PTQ with dynamic activation scales (no calibration
-dataset needed); accuracy is validated in tests against the fp32 trunk
-(descriptor cosine similarity / keypoint overlap).
+Two activation-scale modes:
+
+  * dynamic (default, no data needed): per-tensor absmax computed at each
+    conv input on every forward — an extra full pass over each activation,
+    which at this trunk size costs more than the int8 MXU saves;
+  * static (calibrated): per-conv scales measured once over calibration
+    images (`calibrate_activation_scales`) and stored as `<w>#ascale`
+    params — the dynamic passes disappear and int8 becomes pure win.
+
+Accuracy is validated in tests against the fp32 trunk (descriptor cosine
+similarity / keypoint overlap).
 """
 
 from __future__ import annotations
@@ -40,15 +48,42 @@ def quantize_weights(params: Dict[str, jax.Array], conv_weight_names
     return out
 
 
+def calibrate_activation_scales(graph, params_fp32: Dict[str, jax.Array],
+                                images: jax.Array, batch: int = 8,
+                                margin: float = 1.0
+                                ) -> Dict[str, jax.Array]:
+    """Static per-conv activation scales from calibration images.
+
+    Runs the fp32 graph with conv-input capture over `images`
+    ((N, H, W, C) in [0, 1]) and returns `{<w>#ascale: absmax*margin/127}`
+    entries to merge into the quantized params — the dynamic absmax pass at
+    every conv disappears from inference.
+    """
+    from spsvo_tpu.models.onnx_import import make_apply
+    traced = jax.jit(make_apply(graph, jnp.float32,
+                                capture_conv_inputs=True))
+    best: Dict[str, float] = {}
+    n = images.shape[0]
+    for i in range(0, n, batch):
+        _, rec = traced(params_fp32, images[i:i + batch])
+        for k, v in rec.items():
+            best[k] = max(best.get(k, 0.0), float(v))
+    return {f"{k}#ascale": jnp.float32(max(v, 1e-12) * margin / 127.0)
+            for k, v in best.items()}
+
+
 def int8_conv(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
-              strides, padding, dilations, groups: int) -> jax.Array:
-    """Dynamically-quantized int8 convolution.
+              strides, padding, dilations, groups: int,
+              a_scale: jax.Array | None = None) -> jax.Array:
+    """Int8 convolution with dynamic or static (calibrated) activation scale.
 
     x: (B, H, W, C) fp32; w_q: (kh, kw, Cin/g, Cout) int8;
-    w_scale: (Cout,) fp32. Returns fp32.
+    w_scale: (Cout,) fp32; a_scale: scalar fp32 or None (dynamic absmax).
+    Returns fp32.
     """
-    a_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12)
-    a_scale = a_absmax / 127.0
+    if a_scale is None:
+        a_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12)
+        a_scale = a_absmax / 127.0
     x_q = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         x_q, w_q, window_strides=strides, padding=padding,

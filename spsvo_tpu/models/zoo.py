@@ -240,13 +240,17 @@ def weights_dir() -> str:
 
 
 def load_model(prefix: str, compute_dtype=jnp.float32, seed: int = 0,
-               models_dir: Optional[str] = None, int8: bool = False):
+               models_dir: Optional[str] = None, int8: bool = False,
+               int8_calibration=None):
     """Load a model family by its reference prefix.
 
     Returns (apply_fn, params). apply_fn(params, x_nhwc) ->
     {"output_det": (B,Hc,Wc,65), "output_desc": (B,Hc,Wc,256)}.
-    `int8=True` post-training-quantizes the conv trunk (weights
-    per-channel int8, activations dynamic per-tensor, int8 MXU path).
+    `int8=True` post-training-quantizes the conv trunk (weights per-channel
+    int8, int8 MXU path); activations use dynamic per-tensor scales unless
+    `int8_calibration` ((N, H, W, 1) float images in [0, 1]) is given, in
+    which case static calibrated scales are baked into the params and the
+    per-conv dynamic absmax passes disappear.
     """
     if prefix in BUNDLED_ONNX:
         d = models_dir or REFERENCE_MODELS_DIR
@@ -268,9 +272,15 @@ def load_model(prefix: str, compute_dtype=jnp.float32, seed: int = 0,
         else:
             params = builder.init_params(jax.random.PRNGKey(seed))
     if int8:
-        from spsvo_tpu.models.quantize import quantize_weights
+        from spsvo_tpu.models.quantize import (calibrate_activation_scales,
+                                               quantize_weights)
         conv_names = {n.inputs[1] for n in graph.nodes if n.op == "Conv"}
+        ascales = {}
+        if int8_calibration is not None:
+            ascales = calibrate_activation_scales(
+                graph, params, jnp.asarray(int8_calibration))
         params = quantize_weights(params, conv_names)
+        params.update(ascales)
     return make_apply(graph, compute_dtype), params
 
 

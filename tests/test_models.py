@@ -157,3 +157,35 @@ def test_every_family_yields_real_keypoints(prefix, sample_image_dir):
                           P, P_r, want_diagnostics=True)
     assert info["num_keypoints_left"] > 100, (prefix, info)
     assert info2["num_inliers"] > 20, (prefix, info2)
+
+
+def test_int8_static_calibration_matches_dynamic(rng, sample_image_dir):
+    """Calibrated static activation scales must match dynamic-scale int8
+    closely (same quantization grid, scale from data instead of per-call),
+    and stay close to fp32."""
+    import cv2
+
+    from spsvo_tpu.ops.image import preprocess_image_np
+    files = sorted(os.listdir(sample_image_dir))[:4]
+    imgs = np.stack([preprocess_image_np(
+        cv2.imread(os.path.join(sample_image_dir, f), cv2.IMREAD_GRAYSCALE),
+        120, 392) for f in files])[..., None]
+    calib, test = imgs[:3], imgs[3:]
+
+    apply_fp, p_fp = zoo.load_model("sp_mbv1")
+    apply_dyn, p_dyn = zoo.load_model("sp_mbv1", int8=True)
+    apply_st, p_st = zoo.load_model("sp_mbv1", int8=True,
+                                    int8_calibration=calib)
+    assert any(k.endswith("#ascale") for k in p_st)
+
+    x = jnp.asarray(test)
+    ref = apply_fp(p_fp, x)
+    dyn = apply_dyn(p_dyn, x)
+    st = apply_st(p_st, x)
+
+    def desc_cos(a, b):
+        return float(jnp.mean(jnp.sum(a["output_desc"] * b["output_desc"],
+                                      axis=-1)))
+
+    assert desc_cos(st, ref) > 0.95, desc_cos(st, ref)
+    assert desc_cos(st, dyn) > 0.98, desc_cos(st, dyn)
