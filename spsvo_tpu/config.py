@@ -153,6 +153,8 @@ class VOConfig:
     border_remove: int = 4            # border margin for keypoints (px)
     max_keypoints: int = 1000         # K: fixed keypoint capacity per image
     nms_iterations: int = 2           # iterated max-pool NMS rounds
+    subpixel_refine: bool = False     # 3x3 centroid sub-pixel keypoints
+    # (beyond-reference accuracy option; off = integer-pixel parity)
     knn_threshold: float = 0.8        # Lowe ratio
 
     # --- matching capacity ---------------------------------------------------
@@ -167,6 +169,15 @@ class VOConfig:
     num_parallel_frames: int = 1      # frames per sharded step (multi-chip DP)
     latency_warn_ms: float = 125.0    # reference per-step budget warning
     use_pallas_matcher: bool = False  # fused Pallas mutual-NN kernel (TPU)
+    speculative_solve: bool = False   # hybrid online mode: precompute the
+    # prior-independent RANSAC winner + refinement frame-parallel, leaving
+    # only prior-lane scoring + gates in the sequential scan (requires
+    # single-batch RANSAC, i.e. ransac_chunk<=0 or >= iterations).
+    # Default OFF: measured on the bench workload the constant-velocity
+    # prior beats every sampled hypothesis on 96% of frames, so the
+    # "rare" in-scan branch almost always runs and the precompute is wasted
+    # (497 vs 522 FPS). Useful only for erratic-motion workloads where the
+    # prior rarely wins (BENCH_NOTES.md).
 
     def __post_init__(self) -> None:
         if not self.is_classic:

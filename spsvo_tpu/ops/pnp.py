@@ -103,6 +103,108 @@ def _sample_indices(key: jax.Array, valid: jax.Array, num_hyp: int,
     return idx
 
 
+def _score_mask(R: jax.Array, t: jax.Array, pts3d_curr: jax.Array,
+                pts2d_prev: jax.Array, valid: jax.Array, P32: jax.Array,
+                thr2: float) -> jax.Array:
+    """Inlier mask for hypothesis (R (...,3,3), t (...,3)): reprojection of
+    the current-frame 3D points into the previous left image under threshold,
+    cheirality-gated — the reference's cv::solvePnPRansac scoring rule."""
+    Xp = jnp.einsum("...ij,kj->...ki", R, pts3d_curr) + t[..., None, :]
+    Xh = jnp.concatenate([Xp, jnp.ones_like(Xp[..., :1])], axis=-1)
+    uvw = jnp.einsum("ij,...kj->...ki", P32, Xh)
+    z = uvw[..., 2:3]
+    uv = uvw[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)
+    return (err2 < thr2) & valid & (Xp[..., 2] > 0)
+
+
+def refit_polish(R_best: jax.Array, t_best: jax.Array, best_inl: jax.Array,
+                 pts3d_curr: jax.Array, pts3d_prev: jax.Array,
+                 pts2d_prev: jax.Array, valid: jax.Array, P_l: jax.Array, *,
+                 reproj_threshold: float, polish_unroll: int = 0
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Winner local-optimisation: 2x weighted-Kabsch refit on the inliers,
+    then a Gauss-Newton reprojection polish — USAC's LO + terminal-LM roles.
+
+    Shared by the in-loop path (`ransac_pose`) and the speculative split
+    (`solver.precompute_speculative` / `solver.solve_speculative`) so both
+    run bit-identical math. Returns (q_xyzw, t, inliers) post-acceptance.
+    """
+    thr2 = reproj_threshold * reproj_threshold
+    P32 = P_l.astype(jnp.float32)
+
+    def refit(carry):
+        R, t, inliers = carry
+        w = inliers.astype(jnp.float32)
+        q2, t2 = _horn(pts3d_curr, pts3d_prev, w)
+        R2 = se3.quat_to_matrix(q2)
+        Xp = pts3d_curr @ R2.T + t2
+        uv = project(P32, Xp)
+        err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)
+        inl2 = (err2 < thr2) & valid & (Xp[..., 2] > 0)
+        # only accept if it didn't collapse
+        better = jnp.sum(inl2) >= jnp.sum(inliers)
+        R = jnp.where(better, R2, R)
+        t = jnp.where(better, t2, t)
+        inliers = jnp.where(better, inl2, inliers)
+        return (R, t, inliers)
+
+    carry = (R_best, t_best, best_inl)
+    for _ in range(2):
+        carry = refit(carry)
+    R_best, t_best, best_inl = carry
+
+    # final polish: Gauss-Newton on the 2D reprojection cost over the inliers
+    # (depth-noisy triangulations are weighted correctly by image-space
+    # residuals) — the role of cv::solvePnPRansac's terminal LM refinement.
+    from spsvo_tpu.ops import lm as _lm  # local import: lm is leaf-only
+    q_best = se3.matrix_to_quat(R_best)
+    zeros2 = jnp.zeros_like(pts2d_prev)
+    polished = _lm.refine_pose(
+        q_best, t_best, pts3d_curr, pts3d_curr, pts2d_prev, zeros2, zeros2,
+        zeros2, best_inl, P32, P32, refinement_degree=1,
+        max_iterations=(polish_unroll or 10), huber_delta=reproj_threshold,
+        unroll=polish_unroll)
+    Xp = pts3d_curr @ se3.quat_to_matrix(polished.q).T + polished.t
+    uv = project(P32, Xp)
+    err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)
+    inl_pol = (err2 < thr2) & valid & (Xp[..., 2] > 0)
+    better = jnp.sum(inl_pol) >= jnp.sum(best_inl)
+    q = jnp.where(better, polished.q, q_best)
+    t = jnp.where(better, polished.t, t_best)
+    best_inl = jnp.where(better, inl_pol, best_inl)
+    return q, t, best_inl
+
+
+def sampled_best(key: jax.Array, pts3d_curr: jax.Array,
+                 pts3d_prev: jax.Array, pts2d_prev: jax.Array,
+                 valid: jax.Array, P_l: jax.Array, *, iterations: int,
+                 reproj_threshold: float
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Best of the SAMPLED hypothesis batch only — no prior lane.
+
+    Exactly `ransac_pose`'s single-batch hypothesis stage (same key split,
+    same Gumbel draw, same first-max argmax), split out because it is
+    motion-prior-INdependent: the hybrid online mode precomputes it
+    frame-parallel and the sequential scan only compares the prior lane
+    against it (`solver.solve_speculative`).
+
+    Returns (count, R (3,3), t (3,), inlier mask (K,)).
+    """
+    thr2 = reproj_threshold * reproj_threshold
+    P32 = P_l.astype(jnp.float32)
+    k_samp, _ = jax.random.split(key)
+    idx = _sample_indices(k_samp, valid, iterations, 3)        # (S, 3)
+    src = pts3d_curr[idx]                                       # (S, 3, 3)
+    dst = pts3d_prev[idx]
+    q_h, t_h = _horn(src, dst, jnp.ones(idx.shape, jnp.float32))
+    R_h = se3.quat_to_matrix(q_h)
+    inl = _score_mask(R_h, t_h, pts3d_curr, pts2d_prev, valid, P32, thr2)
+    counts = jnp.sum(inl, axis=-1)
+    j = jnp.argmax(counts)
+    return counts[j], R_h[j], t_h[j], inl[j]
+
+
 def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
                 pts2d_prev: jax.Array, valid: jax.Array, P_l: jax.Array,
                 q_prior: jax.Array, t_prior: jax.Array, *,
@@ -205,50 +307,13 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
             cond, body, init)
         n_hypotheses = jnp.minimum(n_done * chunk, iterations)
 
-    # local optimisation: weighted Kabsch re-fit on inliers, then recount —
-    # two rounds, the batched analogue of USAC's LO step. Trace-unrolled:
+    # local optimisation: weighted Kabsch re-fit on inliers + GN polish —
+    # the batched analogue of USAC's LO step (shared helper; trace-unrolled:
     # a length-2 lax.scan costs 2x the ~0.27 ms fixed per-iteration overhead
-    # on sequential paths for no benefit.
-    def refit(carry):
-        R, t, inliers = carry
-        w = inliers.astype(jnp.float32)
-        q2, t2 = _horn(pts3d_curr, pts3d_prev, w)
-        R2 = se3.quat_to_matrix(q2)
-        Xp = pts3d_curr @ R2.T + t2
-        uv = project(P_l, Xp)
-        err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)
-        inl2 = (err2 < thr2) & valid & (Xp[..., 2] > 0)
-        # only accept if it didn't collapse
-        better = jnp.sum(inl2) >= jnp.sum(inliers)
-        R = jnp.where(better, R2, R)
-        t = jnp.where(better, t2, t)
-        inliers = jnp.where(better, inl2, inliers)
-        return (R, t, inliers)
-
-    carry = (R_best, t_best, best_inl)
-    for _ in range(2):
-        carry = refit(carry)
-    R_best, t_best, best_inl = carry
-
-    # final polish: Gauss-Newton on the 2D reprojection cost over the inliers
-    # (depth-noisy triangulations are weighted correctly by image-space
-    # residuals) — the role of cv::solvePnPRansac's terminal LM refinement.
-    from spsvo_tpu.ops import lm as _lm  # local import: lm is leaf-only
-    q_best = se3.matrix_to_quat(R_best)
-    zeros2 = jnp.zeros_like(pts2d_prev)
-    polished = _lm.refine_pose(
-        q_best, t_best, pts3d_curr, pts3d_curr, pts2d_prev, zeros2, zeros2,
-        zeros2, best_inl, P_l, P_l, refinement_degree=1,
-        max_iterations=(polish_unroll or 10), huber_delta=reproj_threshold,
-        unroll=polish_unroll)
-    Xp = pts3d_curr @ se3.quat_to_matrix(polished.q).T + polished.t
-    uv = project(P_l, Xp)
-    err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)
-    inl_pol = (err2 < thr2) & valid & (Xp[..., 2] > 0)
-    better = jnp.sum(inl_pol) >= jnp.sum(best_inl)
-    q = jnp.where(better, polished.q, q_best)
-    t = jnp.where(better, polished.t, t_best)
-    best_inl = jnp.where(better, inl_pol, best_inl)
+    # on sequential paths for no benefit).
+    q, t, best_inl = refit_polish(
+        R_best, t_best, best_inl, pts3d_curr, pts3d_prev, pts2d_prev, valid,
+        P_l, reproj_threshold=reproj_threshold, polish_unroll=polish_unroll)
 
     num = jnp.sum(best_inl)
     success = num >= min_inliers

@@ -139,6 +139,45 @@ def select_topk(scores: jax.Array, k: int, conf_thresh: float,
     return xy, top_scores, valid
 
 
+def refine_subpixel(heat: jax.Array, xy: jax.Array, valid: jax.Array
+                    ) -> jax.Array:
+    """Sub-pixel keypoint refinement: per-axis parabolic peak interpolation.
+
+    The reference (like the original SuperPoint demo) keeps integer heatmap
+    coordinates — its accuracy floor is pixel quantisation. This opt-in
+    improvement (cfg.subpixel_refine) fits a parabola through each NMS
+    winner's score and its two axis neighbours and shifts to the vertex:
+    shift = (f(-1) - f(+1)) / (2 (f(-1) - 2 f(0) + f(+1))), clamped to
+    ±0.5 (the winner is the local max, so the vertex lies within its cell).
+    Out-of-image neighbours contribute 0 (the clamp bounds the shift);
+    invalid slots pass through unchanged.
+
+    heat: (B, H, W) thresholded heatmap (pre-NMS — suppressed neighbours
+    still carry their true scores); xy: (B, K, 2) integer pixel coords.
+    """
+    b, h, w = heat.shape
+    flat = heat.reshape(b, h * w)
+    x0 = xy[..., 0].astype(jnp.int32)
+    y0 = xy[..., 1].astype(jnp.int32)
+
+    def at(yy, xx):
+        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+        return jnp.where(inb, jnp.take_along_axis(flat, idx, axis=1), 0.0)
+
+    def axis_shift(v_m, v_0, v_p):
+        denom = v_m - 2.0 * v_0 + v_p
+        shift = 0.5 * (v_m - v_p) / jnp.where(jnp.abs(denom) < 1e-12,
+                                              1e-12, denom)
+        return jnp.clip(jnp.where(jnp.abs(denom) < 1e-12, 0.0, shift),
+                        -0.5, 0.5)
+
+    dx = axis_shift(at(y0, x0 - 1), at(y0, x0), at(y0, x0 + 1))
+    dy = axis_shift(at(y0 - 1, x0), at(y0, x0), at(y0 + 1, x0))
+    refined = jnp.stack([xy[..., 0] + dx, xy[..., 1] + dy], axis=-1)
+    return jnp.where(valid[..., None], refined, xy)
+
+
 def sample_descriptors(desc_grid: jax.Array, xy: jax.Array,
                        image_hw: Tuple[int, int]) -> jax.Array:
     """Bilinear descriptor sampling with align_corners=True semantics.
@@ -186,10 +225,13 @@ def sample_descriptors(desc_grid: jax.Array, xy: jax.Array,
 
 def extract_keypoints(det: jax.Array, desc: jax.Array, *, k: int,
                       conf_thresh: float, nms_radius: int, border: int,
-                      nms_iterations: int = 2) -> Keypoints:
+                      nms_iterations: int = 2,
+                      subpixel: bool = False) -> Keypoints:
     """Full postprocess: raw heads -> fixed-capacity keypoints+descriptors.
 
     det:  (B, Hc, Wc, 65) logits; desc: (B, Hc, Wc, 256) L2-normalised grid.
+    `subpixel` shifts winners to their 3x3 heatmap centroid (beyond-reference
+    accuracy improvement; default off = integer-pixel reference parity).
     """
     heat = heatmap_from_logits(det)
     h, w = heat.shape[1], heat.shape[2]
@@ -198,5 +240,7 @@ def extract_keypoints(det: jax.Array, desc: jax.Array, *, k: int,
     heat = jnp.where(heat > conf_thresh, heat, 0.0)
     suppressed = nms(heat, nms_radius, nms_iterations)
     xy, score, valid = select_topk(suppressed, k, conf_thresh, border)
+    if subpixel:
+        xy = refine_subpixel(heat, xy, valid)
     descs = sample_descriptors(desc, xy, (h, w))
     return Keypoints(xy=xy, score=score, valid=valid, desc=descs)

@@ -62,6 +62,8 @@ class SolveResult(NamedTuple):
     lm_improved: jax.Array
     n_ransac_hypotheses: jax.Array   # evaluated before adaptive exit
     chain_truncated: jax.Array       # solve_slots dropped valid chain matches
+    prior_winner: jax.Array = False  # speculative path: prior lane beat every
+    # sampled hypothesis (the in-scan refinement branch executed)
 
 
 def build_chain(xy_curr_l, xy_curr_r, valid_curr_l, valid_curr_r,
@@ -155,6 +157,135 @@ def solve_stereo_odometry(key: jax.Array, inputs: SolveInputs,
     prep = prepare_solve(inputs, P_l, P_r, cfg)
     return solve_prepared(key, prep, P_l, P_r, q_pred, t_pred, frame_count,
                           cfg, k_capacity=inputs.chain_valid.shape[0])
+
+
+class SpeculativeSolve(NamedTuple):
+    """Prior-independent solve precomputation for one frame pair.
+
+    With single-batch RANSAC (ransac_chunk<=0 / confidence>=1 — the
+    sequential-path configuration), everything except the motion-prior lane
+    is independent of the carried prior: the sampled-hypothesis winner, its
+    refit+polish, and its LM refinement can all run frame-PARALLEL. The
+    sequential scan then only (a) scores the prior lane, (b) takes the
+    precomputed result unless the prior strictly beats the sampled winner
+    (ties go to sampled lanes, matching `ransac_pose`'s argmax order), and
+    (c) applies the scalar gates. `solve_speculative` reproduces
+    `solve_prepared`'s outputs exactly; equality is test-pinned.
+    """
+
+    count_sampled: jax.Array   # () int32: best sampled inlier count, pre-refit
+    q_raw: jax.Array           # (4,) sampled winner post refit+polish
+    t_raw: jax.Array           # (3,)
+    inliers: jax.Array         # (L,) post-polish inlier mask
+    num_inliers: jax.Array     # () int32
+    q_lm: jax.Array            # (4,) LM-refined pose (== q_raw if degree 0)
+    t_lm: jax.Array
+    lm_improved: jax.Array     # () bool
+
+
+def _lm_refine(q_raw, t_raw, inliers, prep: PreparedSolve, P_l, P_r,
+               cfg: VOConfig):
+    """The solve's LM-refinement call on a winner — shared between the
+    precomputed (sampled-winner) and in-scan (prior-winner) branches."""
+    if cfg.refinement_degree <= 0:
+        return q_raw, t_raw, jnp.asarray(False)
+    refined = lm.refine_pose(
+        q_raw, t_raw, prep.pts3d_curr, prep.pts3d_prev, prep.uv_prev_l,
+        prep.uv_prev_r, prep.uv_curr_l, prep.uv_curr_r, inliers, P_l, P_r,
+        refinement_degree=cfg.refinement_degree,
+        max_iterations=cfg.lm_max_iterations,
+        huber_delta=cfg.huber_delta, unroll=cfg.lm_unroll)
+    return refined.q, refined.t, refined.improved
+
+
+def _winner_branch(R, t, inl, prep: PreparedSolve, P_l, P_r, cfg: VOConfig):
+    """refit+polish+LM chain on a RANSAC winner hypothesis."""
+    q_raw, t_raw, inl2 = pnp.refit_polish(
+        R, t, inl, prep.pts3d_curr, prep.pts3d_prev, prep.uv_prev_l,
+        prep.chain, P_l, reproj_threshold=cfg.ransac_reproj_threshold,
+        polish_unroll=(min(cfg.lm_unroll, 4) if cfg.lm_unroll else 0))
+    num = jnp.sum(inl2).astype(jnp.int32)
+    q_lm, t_lm, improved = _lm_refine(q_raw, t_raw, inl2, prep, P_l, P_r,
+                                      cfg)
+    return q_raw, t_raw, inl2, num, q_lm, t_lm, improved
+
+
+def precompute_speculative(key: jax.Array, prep: PreparedSolve,
+                           P_l: jax.Array, P_r: jax.Array, cfg: VOConfig
+                           ) -> SpeculativeSolve:
+    """Frame-parallel half of the speculative solve: sampled-hypothesis
+    RANSAC winner + its full refinement chain (no motion prior anywhere)."""
+    count_s, R_s, t_s, inl_s = pnp.sampled_best(
+        key, prep.pts3d_curr, prep.pts3d_prev, prep.uv_prev_l, prep.chain,
+        P_l, iterations=cfg.ransac_iterations,
+        reproj_threshold=cfg.ransac_reproj_threshold)
+    q_raw, t_raw, inl, num, q_lm, t_lm, improved = _winner_branch(
+        R_s, t_s, inl_s, prep, P_l, P_r, cfg)
+    return SpeculativeSolve(count_s, q_raw, t_raw, inl, num, q_lm, t_lm,
+                            improved)
+
+
+def solve_speculative(spec: SpeculativeSolve, prep: PreparedSolve,
+                      P_l: jax.Array, P_r: jax.Array, q_pred: jax.Array,
+                      t_pred: jax.Array, frame_count: jax.Array,
+                      cfg: VOConfig) -> SolveResult:
+    """Sequential half of the speculative solve: score the prior lane,
+    branch to the precomputed sampled winner (common case — cheap) or an
+    in-scan prior-winner refinement (rare), then the scalar gates.
+
+    Produces `solve_prepared`'s outputs (masks uncompacted at L lanes)."""
+    thr2 = cfg.ransac_reproj_threshold ** 2
+    P32 = P_l.astype(jnp.float32)
+    R_p = se3.quat_to_matrix(q_pred)
+    inl_p = pnp._score_mask(R_p, t_pred, prep.pts3d_curr, prep.uv_prev_l,
+                            prep.chain, P32, thr2)
+    # sampled lanes win ties (ransac_pose: `counts[j] >= best_count` with the
+    # prior as the init) -> the prior must be STRICTLY better to win
+    prior_wins = jnp.sum(inl_p) > spec.count_sampled
+
+    def prior_branch(_):
+        return _winner_branch(R_p, t_pred.astype(jnp.float32), inl_p, prep,
+                              P_l, P_r, cfg)
+
+    def sampled_branch(_):
+        return (spec.q_raw, spec.t_raw, spec.inliers, spec.num_inliers,
+                spec.q_lm, spec.t_lm, spec.lm_improved)
+
+    q_raw, t_raw, inliers, num, q_lm, t_lm, lm_imp = jax.lax.cond(
+        prior_wins, prior_branch, sampled_branch, None)
+
+    success = num >= cfg.ransac_min_inliers
+    accel = jnp.linalg.norm(t_raw - t_pred) / cfg.time_interval
+    accel_anomaly = ((frame_count > cfg.ignore_frame_count)
+                     & (accel > cfg.max_acceleration))
+    use_pred = (~success) | accel_anomaly
+
+    q = jnp.where(use_pred, q_pred, q_raw)
+    t = jnp.where(use_pred, t_pred, t_raw)
+    do_optimize = ~use_pred
+    q_pred_new = jnp.where(do_optimize, q_raw, q_pred)
+    t_pred_new = jnp.where(do_optimize, t_raw, t_pred)
+
+    lm_improved = jnp.asarray(False)
+    if cfg.refinement_degree > 0:
+        q = jnp.where(do_optimize, q_lm, q)
+        t = jnp.where(do_optimize, t_lm, t)
+        lm_improved = lm_imp & do_optimize
+
+    T_prev_curr = se3.make_transform(q, t)
+    T_curr_prev = se3.invert_transform(T_prev_curr)
+    chain = prep.chain
+    return SolveResult(
+        q=q, t=t, T_curr_prev=T_curr_prev,
+        q_pred=q_pred_new, t_pred=t_pred_new,
+        chain_valid=chain, inliers=inliers & chain,
+        num_chain=jnp.sum(chain).astype(jnp.int32),
+        num_inliers=num,
+        pnp_success=success, accel_anomaly=accel_anomaly,
+        lm_improved=lm_improved,
+        n_ransac_hypotheses=jnp.int32(cfg.ransac_iterations),
+        chain_truncated=prep.num_chain_total > chain.shape[0],
+        prior_winner=prior_wins)
 
 
 def solve_prepared(key: jax.Array, prep: PreparedSolve, P_l: jax.Array,

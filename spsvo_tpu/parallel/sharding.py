@@ -58,7 +58,8 @@ def frontend_batch(apply_fn, params, images: jax.Array, cfg: VOConfig,
         return extract_keypoints(
             out["output_det"], out["output_desc"], k=cfg.max_keypoints,
             conf_thresh=cfg.conf_thresh, nms_radius=cfg.dist_thresh,
-            border=cfg.border_remove, nms_iterations=cfg.nms_iterations)
+            border=cfg.border_remove, nms_iterations=cfg.nms_iterations,
+            subpixel=cfg.subpixel_refine)
 
     n = images.shape[0]
     x = images[..., None]
@@ -218,8 +219,21 @@ def build_online_hybrid(apply_fn, cfg: VOConfig):
     prior-seeding semantics — solver.solve_prepared is the identical code the
     per-frame path runs) with the sequential region shrunk from the whole
     step to ~1/3 of it, and the rest batched onto the MXU.
+
+    With `cfg.speculative_solve` and single-batch RANSAC (the sequential-path
+    tuning), the sequential region shrinks further: the sampled-hypothesis
+    winner and its whole refinement chain are prior-independent, so they are
+    precomputed frame-parallel (`solver.precompute_speculative`) and the scan
+    body reduces to prior-lane scoring + a rarely-taken prior-wins branch +
+    the scalar gates (`solver.solve_speculative`). Equality with the
+    non-speculative scan is test-pinned.
     """
-    from spsvo_tpu.ops.solver import prepare_solve, solve_prepared
+    from spsvo_tpu.ops.solver import (precompute_speculative, prepare_solve,
+                                      solve_prepared, solve_speculative)
+
+    single_batch = (cfg.ransac_chunk <= 0
+                    or cfg.ransac_chunk >= cfg.ransac_iterations)
+    speculative = cfg.speculative_solve and single_batch
 
     def fn(params, images, P_l, P_r, key):
         n = images.shape[0]
@@ -248,22 +262,46 @@ def build_online_hybrid(apply_fn, cfg: VOConfig):
         # solves, feature_detection_base.cpp:396).
         keys = jax.random.split(key, n - 1)
 
-        def body(carry, xs):
-            q_pred, t_pred, fc = carry
-            prep, k = xs
-            res = solve_prepared(k, prep, P_l, P_r, q_pred, t_pred, fc, cfg)
-            diag = {"num_chain": res.num_chain,
+        def diag_of(res):
+            return {"num_chain": res.num_chain,
                     "num_inliers": res.num_inliers,
                     "pnp_success": res.pnp_success,
                     "accel_anomaly": res.accel_anomaly,
                     "n_ransac_hypotheses": res.n_ransac_hypotheses}
-            return ((res.q_pred, res.t_pred, fc + 1), (res.q, res.t, diag))
+
+        if speculative:
+            # phase 2.6 (parallel): sampled-winner RANSAC + refinement —
+            # everything in the solve that does not touch the motion prior
+            specs = jax.vmap(
+                lambda k, p: precompute_speculative(k, p, P_l, P_r, cfg)
+            )(keys, preps)
+
+            def body(carry, xs):
+                q_pred, t_pred, fc = carry
+                prep, spec = xs
+                res = solve_speculative(spec, prep, P_l, P_r, q_pred,
+                                        t_pred, fc, cfg)
+                d = diag_of(res)
+                d["prior_winner"] = res.prior_winner
+                return ((res.q_pred, res.t_pred, fc + 1),
+                        (res.q, res.t, d))
+
+            xs = (preps, specs)
+        else:
+            def body(carry, xs):
+                q_pred, t_pred, fc = carry
+                prep, k = xs
+                res = solve_prepared(k, prep, P_l, P_r, q_pred, t_pred, fc,
+                                     cfg)
+                return ((res.q_pred, res.t_pred, fc + 1),
+                        (res.q, res.t, diag_of(res)))
+
+            xs = (preps, keys)
 
         init = (jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
                 jnp.zeros(3, jnp.float32), jnp.int32(0))
         # unroll amortises the ~0.27 ms/iteration fixed scan overhead
-        _, (qs, ts, diag) = jax.lax.scan(body, init, (preps, keys),
-                                         unroll=4)
+        _, (qs, ts, diag) = jax.lax.scan(body, init, xs, unroll=4)
 
         # phase 4: pose chaining (identity for the first frame)
         deltas = se3.make_transform(qs, ts)     # prev_T_curr per pair

@@ -97,7 +97,7 @@ def superpoint_frontend(apply_fn, params, images: jax.Array, cfg: VOConfig
     kps = extract_keypoints(
         det, desc, k=cfg.max_keypoints, conf_thresh=cfg.conf_thresh,
         nms_radius=cfg.dist_thresh, border=cfg.border_remove,
-        nms_iterations=cfg.nms_iterations)
+        nms_iterations=cfg.nms_iterations, subpixel=cfg.subpixel_refine)
     left = Keypoints(kps.xy[0], kps.score[0], kps.valid[0], kps.desc[0])
     right = Keypoints(kps.xy[1], kps.score[1], kps.valid[1], kps.desc[1])
     return left, right

@@ -43,3 +43,21 @@ def test_varied_twists_drive(rng):
         vo.process(il, ir, P_l, P_r)
     report = score_trajectory(vo.trajectory, gt)
     assert report["final_drift_percent"] < 8.0, report
+
+
+@pytest.mark.slow
+def test_curved_drive_accuracy_subpixel(rng):
+    """Sub-pixel keypoint refinement (beyond-reference option) must hold the
+    same drive bounds. On synthetic blob textures it is accuracy-neutral
+    (measured within seed noise); its target is real-imagery quantisation."""
+    frames, gt, P_l, P_r = synthetic_drive(
+        rng, n_frames=12, yaw_rate=0.01, forward_per_frame=0.4)
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=256, max_keypoints=512,
+                   subpixel_refine=True)
+    vo = VisualOdometry(cfg)
+    for il, ir in frames:
+        vo.process(il, ir, P_l, P_r)
+    report = score_trajectory(vo.trajectory, gt)
+    assert report["final_drift_percent"] < 6.0, report
+    assert report["ate_m"] < 0.35, report

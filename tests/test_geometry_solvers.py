@@ -282,3 +282,70 @@ def test_analytic_jacobian_matches_jacfwd(rng):
                                atol=1e-3)  # fp32 association noise
     np.testing.assert_allclose(np.asarray(J).reshape(-1, 6), J_ad,
                                rtol=2e-3, atol=2e-3)
+
+
+def _prepared_from_frame(data):
+    from spsvo_tpu.ops.solver import PreparedSolve
+    chain = jnp.asarray(data["valid"])
+    k = chain.shape[0]
+    return PreparedSolve(
+        pts3d_curr=jnp.asarray(data["pts3d_curr"]),
+        pts3d_prev=jnp.asarray(data["pts3d_prev"]),
+        uv_curr_l=jnp.asarray(data["uv_curr_l"]),
+        uv_curr_r=jnp.asarray(data["uv_curr_r"]),
+        uv_prev_l=jnp.asarray(data["uv_prev_l"]),
+        uv_prev_r=jnp.asarray(data["uv_prev_r"]),
+        chain=chain, sel=jnp.arange(k, dtype=jnp.int32),
+        num_chain_total=jnp.sum(chain).astype(jnp.int32))
+
+
+def test_speculative_solve_matches_solve_prepared(rng):
+    """The speculative split (parallel sampled-winner precompute + in-scan
+    prior-lane compare) must reproduce solve_prepared exactly, in BOTH
+    branches: prior loses (identity prior vs real motion) and prior wins
+    (true-pose prior beats every noisy 3-point hypothesis)."""
+    from spsvo_tpu.config import VOConfig
+    from spsvo_tpu.ops import solver
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", ransac_iterations=64,
+                   ransac_chunk=0, lm_unroll=6, solve_slots=0)
+    data, R, t = _vo_frame(rng, n=250, outlier_frac=0.15, k_pad=512)
+    prep = _prepared_from_frame(data)
+    P_l = jnp.asarray(P_L, jnp.float32)
+    P_r = jnp.asarray(P_R, jnp.float32)
+    key = jax.random.PRNGKey(7)
+    q_true = jnp.asarray(Rotation.from_matrix(R).as_quat(), jnp.float32)
+    t_true = jnp.asarray(t, jnp.float32)
+    q_id = jnp.array([0, 0, 0, 1.0], jnp.float32)
+    t_id = jnp.zeros(3, jnp.float32)
+
+    spec = solver.precompute_speculative(key, prep, P_l, P_r, cfg)
+    import spsvo_tpu.ops.pnp as pnp_mod
+    thr2 = cfg.ransac_reproj_threshold ** 2
+
+    for q_pred, t_pred, want_prior_wins in (
+            (q_id, t_id, False), (q_true, t_true, True)):
+        inl_p = pnp_mod._score_mask(
+            se3.quat_to_matrix(q_pred), t_pred, prep.pts3d_curr,
+            prep.uv_prev_l, prep.chain, P_l, thr2)
+        prior_wins = int(jnp.sum(inl_p)) > int(spec.count_sampled)
+        assert prior_wins == want_prior_wins, (
+            int(jnp.sum(inl_p)), int(spec.count_sampled))
+
+        fc = jnp.int32(20)
+        ref = solver.solve_prepared(key, prep, P_l, P_r, q_pred, t_pred,
+                                    fc, cfg)
+        got = solver.solve_speculative(spec, prep, P_l, P_r, q_pred,
+                                       t_pred, fc, cfg)
+        np.testing.assert_allclose(np.asarray(got.q), np.asarray(ref.q),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.q_pred),
+                                   np.asarray(ref.q_pred), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.t_pred),
+                                   np.asarray(ref.t_pred), atol=1e-4)
+        assert abs(int(got.num_inliers) - int(ref.num_inliers)) <= 2
+        assert bool(got.pnp_success) == bool(ref.pnp_success)
+        assert bool(got.accel_anomaly) == bool(ref.accel_anomaly)
+        assert int(got.num_chain) == int(ref.num_chain)

@@ -146,3 +146,38 @@ def test_nms_parity_on_real_model_heatmap(sample_image_dir):
     union = max(len(ours | ref), 1)
     assert len(ref) > 100  # the frame should yield plenty of keypoints
     assert inter / union > 0.85, f"overlap {inter}/{union}"
+
+
+def test_refine_subpixel_recovers_gaussian_peak(rng):
+    """A Gaussian peak at a fractional position: the 3x3 centroid must move
+    the integer argmax toward the true centre."""
+    h, w = 48, 64
+    cy, cx = 20.62, 33.31
+    yy, xx = np.mgrid[0:h, 0:w]
+    heat = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 1.2 ** 2))
+    heat = heat.astype(np.float32)[None]                    # (1, H, W)
+    iy, ix = np.unravel_index(np.argmax(heat[0]), (h, w))
+    xy = jnp.asarray(np.array([[[ix, iy]]], np.float32))    # (1, 1, 2)
+    valid = jnp.ones((1, 1), bool)
+    refined = np.asarray(pp.refine_subpixel(jnp.asarray(heat), xy, valid))
+    assert abs(refined[0, 0, 0] - cx) < 0.15, refined
+    assert abs(refined[0, 0, 1] - cy) < 0.15, refined
+    # integer argmax was worse
+    assert abs(refined[0, 0, 0] - cx) < abs(ix - cx)
+    assert abs(refined[0, 0, 1] - cy) < abs(iy - cy)
+    # invalid slots pass through unchanged
+    out = np.asarray(pp.refine_subpixel(jnp.asarray(heat), xy,
+                                        jnp.zeros((1, 1), bool)))
+    np.testing.assert_array_equal(out, np.asarray(xy))
+
+
+def test_refine_subpixel_edge_clipping(rng):
+    """A keypoint on the image corner must not be dragged by clipped
+    duplicate samples."""
+    h, w = 16, 16
+    heat = np.zeros((1, h, w), np.float32)
+    heat[0, 0, 0] = 1.0   # lone corner peak
+    xy = jnp.asarray(np.array([[[0.0, 0.0]]], np.float32))
+    refined = np.asarray(pp.refine_subpixel(
+        jnp.asarray(heat), xy, jnp.ones((1, 1), bool)))
+    np.testing.assert_allclose(refined, np.asarray(xy), atol=1e-6)
