@@ -8,13 +8,15 @@ Baseline: the reference's best end-to-end throughput — SuperPoint @ 120x392
 on an RTX 2070 laptop, ~66.3 FPS (BASELINE.md; src/odml_visual_odometry/
 README.md:46). North-star target: 500 FPS on one v5e chip.
 
-Measured quantity (headline): the gate-correct throughput mode
-(`parallel.build_batch_vo`) over 128 real frames at 120x392 in fp32 — the
-full per-frame pipeline (CNN forward, detector postprocess, descriptor
-sampling, 3x matching, chain filter, triangulation x2, 256-hypothesis
-RANSAC + polish, LM refinement, sequential gate pass, pose chaining), with
-every per-frame artefact the online mode produces. Aux numbers on stderr:
-online-semantics sequential scan and the bf16 trunk variant.
+Measured quantity (headline): the ONLINE-semantics hybrid mode
+(`parallel.build_online_hybrid` with the fused Pallas solver) over 128 real
+frames at 120x392 in fp32 — the full per-frame pipeline (CNN forward,
+detector postprocess, descriptor sampling, 3x matching, chain filter,
+triangulation x2, 256-hypothesis RANSAC + polish, LM refinement, exact
+sequential gate/prior semantics, pose chaining). This is simultaneously the
+most reference-faithful mode and the fastest fp32 mode (BENCH_NOTES.md).
+Aux numbers on stderr: batch throughput mode, reference-parity config,
+strict per-frame scan, bf16/int8 trunk variants.
 """
 
 from __future__ import annotations
@@ -116,8 +118,12 @@ def main():
     # runtime overhead on this TPU (BENCH_NOTES.md), so sequential paths
     # minimise iteration counts, not FLOPs. Accuracy pinned by
     # tests/test_parallel.py::test_online_hybrid_tuned_config_accuracy.
+    # use_pallas_solver: the whole prior-dependent solve (RANSAC scoring,
+    # winner, refit, polish, LM, gates) is ONE Pallas kernel per frame —
+    # the sequential scan is dispatch-bound, not FLOP-bound (521 -> 751 FPS
+    # fp32 online, identical trajectories to the XLA path).
     cfg_seq = dataclasses.replace(cfg, ransac_chunk=0, lm_unroll=6,
-                                  solve_slots=128)
+                                  solve_slots=128, use_pallas_solver=True)
     frames, P_l2, P_r2 = _load_frames(cfg)
     mesh = make_mesh()
     key = jax.random.PRNGKey(0)
@@ -125,27 +131,34 @@ def main():
     P_l_j = jnp.asarray(P_l2, jnp.float32)
     P_r_j = jnp.asarray(P_r2, jnp.float32)
 
-    # ---- headline: gate-correct throughput mode, fp32, sustained ----------
+    # ---- headline: ONLINE semantics (prior-seeded RANSAC + gates), fp32 ---
+    # The hybrid online mode with the fused Pallas solver is both the most
+    # reference-faithful mode (exact online gate/prior semantics) AND the
+    # fastest fp32 mode — so it IS the headline.
     apply_fn, params = zoo.load_model(cfg.model_name_prefix)
     t0 = time.perf_counter()
-    batch_fn = build_batch_vo(apply_fn, cfg, mesh)
+    hyb_fn = build_online_hybrid(apply_fn, cfg_seq)
     fps, diags = _measure_pipelined(
-        batch_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES)
-    log(f"throughput fp32 (sustained): {fps:.1f} FPS "
+        hyb_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES)
+    log(f"ONLINE-hybrid fp32 (sustained, headline): {fps:.1f} FPS "
         f"(compile+reps {time.perf_counter()-t0:.0f}s, "
         f"mean inliers {np.asarray(diags['num_inliers']).mean():.0f})")
-    fps_1call, _ = _measure(batch_fn, (params, images, P_l_j, P_r_j, key),
+    fps_1call, _ = _measure(hyb_fn, (params, images, P_l_j, P_r_j, key),
                             N_FRAMES, reps=3)
-    log(f"throughput fp32 (single call incl. tunnel RTT): {fps_1call:.1f} FPS")
+    log(f"online-hybrid fp32 (single call incl. tunnel RTT): "
+        f"{fps_1call:.1f} FPS")
 
-    # ---- aux: ONLINE semantics (prior-seeded RANSAC + gates), hybrid ------
+    # ---- aux: batch throughput mode (relaxed prior, gates post-scan) ------
     try:
-        hyb_fn = build_online_hybrid(apply_fn, cfg_seq)
-        fps_hyb, _ = _measure_pipelined(
-            hyb_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES)
-        log(f"online-hybrid fp32 (sustained): {fps_hyb:.1f} FPS")
+        t0 = time.perf_counter()
+        batch_fn = build_batch_vo(apply_fn, cfg, mesh)
+        fps_b, diags_b = _measure_pipelined(
+            batch_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES)
+        log(f"throughput fp32 (sustained): {fps_b:.1f} FPS "
+            f"(compile+reps {time.perf_counter()-t0:.0f}s, "
+            f"mean inliers {np.asarray(diags_b['num_inliers']).mean():.0f})")
     except Exception as e:
-        log(f"online-hybrid aux run failed: {e}")
+        log(f"batch throughput aux run failed: {e}")
 
     # ---- aux: reference-parity settings (VERDICT r1 #4) -------------------
     # the reference runs 500 RANSAC iterations (feature_detection_base.cpp:
@@ -160,6 +173,16 @@ def main():
             par_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES, reps=3)
         log(f"throughput fp32 parity(ransac500,K1024): {fps_par:.1f} FPS "
             f"(mean inliers {np.asarray(diags_par['num_inliers']).mean():.0f})")
+        # parity settings in the FAITHFUL mode: online hybrid + fused solver,
+        # 500 exhaustive hypotheses, no chain compaction
+        cfg_par_on = dataclasses.replace(
+            cfg_par, ransac_chunk=0, lm_unroll=6, use_pallas_solver=True)
+        par_on = build_online_hybrid(apply_fn, cfg_par_on)
+        fps_po, diags_po = _measure_pipelined(
+            par_on, (params, images, P_l_j, P_r_j, key), N_FRAMES)
+        log(f"ONLINE-hybrid fp32 parity(ransac500,K1024,slots1024): "
+            f"{fps_po:.1f} FPS "
+            f"(mean inliers {np.asarray(diags_po['num_inliers']).mean():.0f})")
     except Exception as e:
         log(f"parity aux run failed: {e}")
 
@@ -199,6 +222,11 @@ def main():
         fps8, _ = _measure_pipelined(
             b8, (params8, images, P_l_j, P_r_j, key), N_FRAMES)
         log(f"throughput int8 static-calibrated (sustained): {fps8:.1f} FPS")
+        h8 = build_online_hybrid(
+            apply8, dataclasses.replace(cfg_seq, precision=Precision.INT8))
+        fps_h8, _ = _measure_pipelined(
+            h8, (params8, images, P_l_j, P_r_j, key), N_FRAMES)
+        log(f"online-hybrid int8 (sustained): {fps_h8:.1f} FPS")
     except Exception as e:
         log(f"int8 aux run failed: {e}")
 

@@ -169,6 +169,10 @@ class VOConfig:
     num_parallel_frames: int = 1      # frames per sharded step (multi-chip DP)
     latency_warn_ms: float = 125.0    # reference per-step budget warning
     use_pallas_matcher: bool = False  # fused Pallas mutual-NN kernel (TPU)
+    use_pallas_solver: bool = False   # fused whole-solver Pallas kernel for
+    # the hybrid online scan (score+winner+refit+polish+LM+gates in ONE
+    # kernel launch per frame); requires single-batch RANSAC + lm_unroll>0;
+    # XLA solve_prepared fallback off-TPU
     speculative_solve: bool = False   # hybrid online mode: precompute the
     # prior-independent RANSAC winner + refinement frame-parallel, leaving
     # only prior-lane scoring + gates in the sequential scan (requires

@@ -296,6 +296,26 @@ def solve_prepared(key: jax.Array, prep: PreparedSolve, P_l: jax.Array,
     consumes the sequential motion prior (the hybrid online mode scans over
     exactly this). `k_capacity` is the original keypoint capacity the masks
     scatter back to (0 = already uncompacted)."""
+    single_batch = (cfg.ransac_chunk <= 0
+                    or cfg.ransac_chunk >= cfg.ransac_iterations)
+    if (cfg.use_pallas_solver and single_batch and cfg.lm_unroll > 0
+            and jax.default_backend() == "tpu"):
+        # whole solve as ONE Pallas kernel (sequential scans are
+        # dispatch-bound; ops/solver_pallas.py). Hypothesis generation is
+        # prior-independent — the hybrid mode precomputes it frame-parallel
+        # and calls fused_solve directly; here it runs in-line.
+        from spsvo_tpu.ops import solver_pallas
+        hyp = solver_pallas.precompute_hypotheses(key, prep, cfg)
+        res = solver_pallas.fused_solve(hyp, prep, P_l, P_r, q_pred, t_pred,
+                                        frame_count, cfg)
+        L_ = prep.chain.shape[0]
+        K_ = k_capacity or L_
+        if L_ < K_:  # scatter compacted masks back to keypoint capacity
+            inl_full = jnp.zeros((K_,), bool).at[prep.sel].set(res.inliers)
+            ch_full = jnp.zeros((K_,), bool).at[prep.sel].set(res.chain_valid)
+            res = res._replace(inliers=inl_full, chain_valid=ch_full)
+        return res
+
     chain = prep.chain
     pts3d_curr, pts3d_prev = prep.pts3d_curr, prep.pts3d_prev
     xy_curr_l, xy_curr_r = prep.uv_curr_l, prep.uv_curr_r

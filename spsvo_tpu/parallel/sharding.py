@@ -234,6 +234,9 @@ def build_online_hybrid(apply_fn, cfg: VOConfig):
     single_batch = (cfg.ransac_chunk <= 0
                     or cfg.ransac_chunk >= cfg.ransac_iterations)
     speculative = cfg.speculative_solve and single_batch
+    pallas_solver = (cfg.use_pallas_solver and single_batch
+                     and cfg.lm_unroll > 0
+                     and jax.default_backend() == "tpu")
 
     def fn(params, images, P_l, P_r, key):
         n = images.shape[0]
@@ -269,7 +272,28 @@ def build_online_hybrid(apply_fn, cfg: VOConfig):
                     "accel_anomaly": res.accel_anomaly,
                     "n_ransac_hypotheses": res.n_ransac_hypotheses}
 
-        if speculative:
+        if pallas_solver:
+            # phase 2.6 (parallel): prior-independent hypothesis batch;
+            # phase 3's body is ONE fused Pallas kernel per frame
+            # (ops/solver_pallas.py) — erases the per-op dispatch overhead
+            # that dominates the sequential scan (BENCH_NOTES.md).
+            from spsvo_tpu.ops.solver_pallas import (fused_solve,
+                                                     precompute_hypotheses)
+            hyps = jax.vmap(
+                lambda k, p: precompute_hypotheses(k, p, cfg))(keys, preps)
+
+            def body(carry, xs):
+                q_pred, t_pred, fc = carry
+                prep, hyp = xs
+                res = fused_solve(hyp, prep, P_l, P_r, q_pred, t_pred, fc,
+                                  cfg)
+                d = diag_of(res)
+                d["prior_winner"] = res.prior_winner
+                return ((res.q_pred, res.t_pred, fc + 1),
+                        (res.q, res.t, d))
+
+            xs = (preps, hyps)
+        elif speculative:
             # phase 2.6 (parallel): sampled-winner RANSAC + refinement —
             # everything in the solve that does not touch the motion prior
             specs = jax.vmap(

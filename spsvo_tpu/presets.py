@@ -59,7 +59,10 @@ def flagship_tpu() -> VOConfig:
         model_batch_size=2,
         image_height=120, image_width=392,
         max_keypoints=512,
-        use_pallas_matcher=True)  # fused VMEM matcher (XLA fallback off-TPU)
+        use_pallas_matcher=True,   # fused VMEM matcher (XLA fallback off-TPU)
+        use_pallas_solver=True)    # fused whole-solver kernel for the hybrid
+    # online scan (single-batch-RANSAC + unrolled-LM configs only; XLA
+    # fallback elsewhere)
 
 
 def main_config(is_classic: bool = False, is_jetson: bool = False

@@ -332,7 +332,8 @@ def test_speculative_solve_matches_solve_prepared(rng):
         assert prior_wins == want_prior_wins, (
             int(jnp.sum(inl_p)), int(spec.count_sampled))
 
-        fc = jnp.int32(20)
+        fc = jnp.int32(5)  # below ignore_frame_count: accel gate disarmed,
+        # so refit/polish/LM outputs are actually compared
         ref = solver.solve_prepared(key, prep, P_l, P_r, q_pred, t_pred,
                                     fc, cfg)
         got = solver.solve_speculative(spec, prep, P_l, P_r, q_pred,

@@ -78,3 +78,123 @@ def test_pipeline_flag_uses_pallas(monkeypatch, rng):
     out = _match(kp, kp, cfg_p)
     assert calls, "pallas kernel was not invoked"
     np.testing.assert_array_equal(np.asarray(out.idx), np.asarray(ref.idx))
+
+
+def test_fused_solver_matches_solve_prepared(rng):
+    """The whole-solver Pallas kernel (score -> winner -> refit -> polish ->
+    LM -> gates) must reproduce solver.solve_prepared in both winner
+    branches (interpret mode; fp32 reduction-order tolerance)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from scipy.spatial.transform import Rotation
+    from test_geometry_solvers import (P_L, P_R, _prepared_from_frame,
+                                       _vo_frame)
+
+    from spsvo_tpu.config import VOConfig
+    from spsvo_tpu.ops import solver, solver_pallas
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", ransac_iterations=64,
+                   ransac_chunk=0, lm_unroll=6, solve_slots=0)
+    data, R, t = _vo_frame(rng, n=250, outlier_frac=0.15, k_pad=512)
+    prep = _prepared_from_frame(data)
+    P_l = jnp.asarray(P_L, jnp.float32)
+    P_r = jnp.asarray(P_R, jnp.float32)
+    key = jax.random.PRNGKey(7)
+    q_true = jnp.asarray(Rotation.from_matrix(R).as_quat(), jnp.float32)
+    t_true = jnp.asarray(t, jnp.float32)
+    q_id = jnp.array([0, 0, 0, 1.0], jnp.float32)
+    t_id = jnp.zeros(3, jnp.float32)
+
+    hyp = solver_pallas.precompute_hypotheses(key, prep, cfg)
+    fc = jnp.int32(5)   # accel gate disarmed: full refinement path compared
+    for q_pred, t_pred, want_prior in ((q_id, t_id, False),
+                                       (q_true, t_true, True)):
+        ref = solver.solve_prepared(key, prep, P_l, P_r, q_pred, t_pred,
+                                    fc, cfg)
+        got = solver_pallas.fused_solve(hyp, prep, P_l, P_r, q_pred,
+                                        t_pred, fc, cfg, interpret=True)
+        assert bool(got.prior_winner) == want_prior
+        np.testing.assert_allclose(np.asarray(got.q), np.asarray(ref.q),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got.q_pred),
+                                   np.asarray(ref.q_pred), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.t_pred),
+                                   np.asarray(ref.t_pred), atol=1e-3)
+        assert abs(int(got.num_inliers) - int(ref.num_inliers)) <= 3
+        assert bool(got.pnp_success) == bool(ref.pnp_success)
+        assert bool(got.accel_anomaly) == bool(ref.accel_anomaly)
+        assert int(got.num_chain) == int(ref.num_chain)
+        inl_ref = np.asarray(ref.inliers)
+        inl_got = np.asarray(got.inliers)
+        assert (inl_ref != inl_got).sum() <= 3
+
+
+def test_fused_solver_gate_fallback(rng):
+    """PnP failure (too few inliers) must fall back to the prediction, like
+    the reference's gate (feature_detection_base.cpp:244-250)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_geometry_solvers import P_L, P_R, _prepared_from_frame, _vo_frame
+
+    from spsvo_tpu.config import VOConfig
+    from spsvo_tpu.ops import solver_pallas
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", ransac_iterations=32,
+                   ransac_chunk=0, lm_unroll=4, solve_slots=0)
+    data, R, t = _vo_frame(rng, n=20, outlier_frac=0.0, k_pad=256)
+    # destroy the observations so nothing can be an inlier
+    data["uv_prev_l"] = data["uv_prev_l"] + 500.0
+    prep = _prepared_from_frame(data)
+    hyp = solver_pallas.precompute_hypotheses(jax.random.PRNGKey(0), prep,
+                                              cfg)
+    q_pred = jnp.asarray([0.1, 0.0, 0.0, 0.99], jnp.float32)
+    q_pred = q_pred / jnp.linalg.norm(q_pred)
+    t_pred = jnp.asarray([0.3, 0.0, -1.0], jnp.float32)
+    got = solver_pallas.fused_solve(
+        hyp, prep, jnp.asarray(P_L, jnp.float32),
+        jnp.asarray(P_R, jnp.float32), q_pred, t_pred, jnp.int32(5), cfg,
+        interpret=True)
+    assert not bool(got.pnp_success)
+    np.testing.assert_allclose(np.asarray(got.q), np.asarray(q_pred),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(t_pred),
+                               atol=1e-6)
+
+
+def test_hybrid_pallas_solver_flag_falls_back_off_tpu(rng):
+    """With use_pallas_solver=True off-TPU, build_online_hybrid must take the
+    XLA solve_prepared path and produce a normal trajectory."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import _synthetic_sequence
+
+    from spsvo_tpu.config import VOConfig
+    from spsvo_tpu.models import zoo
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
+    from spsvo_tpu.parallel.sharding import build_online_hybrid
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=64, max_keypoints=256,
+                   ransac_chunk=0, lm_unroll=4, solve_slots=128,
+                   use_pallas_solver=True)
+    apply_fn, params = zoo.load_model(cfg.model_name_prefix)
+    frames, poses, P_l, P_r = _synthetic_sequence(rng, n_frames=4)
+    h0, w0 = frames[0][0].shape
+    P_l2 = update_projection_matrix_np(P_l, h0, w0, 120, 392)
+    P_r2 = update_projection_matrix_np(P_r, h0, w0, 120, 392)
+    imgs = np.stack([
+        np.stack([preprocess_image_np(il, 120, 392),
+                  preprocess_image_np(ir, 120, 392)])
+        for il, ir in frames])
+    w, _ = build_online_hybrid(apply_fn, cfg)(
+        params, jnp.asarray(imgs), jnp.asarray(P_l2, jnp.float32),
+        jnp.asarray(P_r2, jnp.float32), jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(w)).all()
+    gt = np.array([T[:3, 3] for T in poses])
+    assert np.abs(np.asarray(w)[:, :3, 3] - gt).max() < 0.3
