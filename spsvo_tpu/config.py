@@ -153,8 +153,8 @@ class VOConfig:
     border_remove: int = 4            # border margin for keypoints (px)
     max_keypoints: int = 1000         # K: fixed keypoint capacity per image
     nms_iterations: int = 2           # iterated max-pool NMS rounds
-    subpixel_refine: bool = False     # 3x3 centroid sub-pixel keypoints
-    # (beyond-reference accuracy option; off = integer-pixel parity)
+    subpixel_refine: bool = False     # parabolic sub-pixel keypoint
+    # localisation (beyond-reference option; off = integer-pixel parity)
     knn_threshold: float = 0.8        # Lowe ratio
 
     # --- matching capacity ---------------------------------------------------

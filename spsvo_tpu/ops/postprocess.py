@@ -230,17 +230,20 @@ def extract_keypoints(det: jax.Array, desc: jax.Array, *, k: int,
     """Full postprocess: raw heads -> fixed-capacity keypoints+descriptors.
 
     det:  (B, Hc, Wc, 65) logits; desc: (B, Hc, Wc, 256) L2-normalised grid.
-    `subpixel` shifts winners to their 3x3 heatmap centroid (beyond-reference
-    accuracy improvement; default off = integer-pixel reference parity).
+    `subpixel` shifts winners to their per-axis parabolic peak (beyond-
+    reference accuracy improvement; default off = integer-pixel parity).
     """
-    heat = heatmap_from_logits(det)
-    h, w = heat.shape[1], heat.shape[2]
+    heat_raw = heatmap_from_logits(det)
+    h, w = heat_raw.shape[1], heat_raw.shape[2]
     # exclude sub-threshold points from suppression participation parity:
     # the reference only considers > conf_thresh points at all (:203).
-    heat = jnp.where(heat > conf_thresh, heat, 0.0)
+    heat = jnp.where(heat_raw > conf_thresh, heat_raw, 0.0)
     suppressed = nms(heat, nms_radius, nms_iterations)
     xy, score, valid = select_topk(suppressed, k, conf_thresh, border)
     if subpixel:
-        xy = refine_subpixel(heat, xy, valid)
+        # refine on the PRE-threshold heatmap: sub-threshold neighbours must
+        # contribute their true scores or the parabola vertex is biased
+        # toward the clamp for winners near conf_thresh
+        xy = refine_subpixel(heat_raw, xy, valid)
     descs = sample_descriptors(desc, xy, (h, w))
     return Keypoints(xy=xy, score=score, valid=valid, desc=descs)

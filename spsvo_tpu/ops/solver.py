@@ -159,6 +159,17 @@ def solve_stereo_odometry(key: jax.Array, inputs: SolveInputs,
                           cfg, k_capacity=inputs.chain_valid.shape[0])
 
 
+def pallas_solver_eligible(cfg: VOConfig) -> bool:
+    """Single source of truth for the fused-solver activation gate: the
+    kernel requires single-batch RANSAC + trace-unrolled LM, and runs only
+    on TPU (XLA solve_prepared elsewhere). Used by both solve_prepared and
+    parallel.build_online_hybrid so the two paths can never diverge."""
+    single_batch = (cfg.ransac_chunk <= 0
+                    or cfg.ransac_chunk >= cfg.ransac_iterations)
+    return (cfg.use_pallas_solver and single_batch and cfg.lm_unroll > 0
+            and jax.default_backend() == "tpu")
+
+
 class SpeculativeSolve(NamedTuple):
     """Prior-independent solve precomputation for one frame pair.
 
@@ -296,10 +307,7 @@ def solve_prepared(key: jax.Array, prep: PreparedSolve, P_l: jax.Array,
     consumes the sequential motion prior (the hybrid online mode scans over
     exactly this). `k_capacity` is the original keypoint capacity the masks
     scatter back to (0 = already uncompacted)."""
-    single_batch = (cfg.ransac_chunk <= 0
-                    or cfg.ransac_chunk >= cfg.ransac_iterations)
-    if (cfg.use_pallas_solver and single_batch and cfg.lm_unroll > 0
-            and jax.default_backend() == "tpu"):
+    if pallas_solver_eligible(cfg):
         # whole solve as ONE Pallas kernel (sequential scans are
         # dispatch-bound; ops/solver_pallas.py). Hypothesis generation is
         # prior-independent — the hybrid mode precomputes it frame-parallel

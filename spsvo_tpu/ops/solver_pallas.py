@@ -331,7 +331,7 @@ def _lm_iterations(q, t, rows, mask_row, Pl, Pr, *, degree, delta, iters):
 def _refit_polish_rows(R, t, inl, rows, Pl, thr2, delta, polish_iters):
     """pnp.refit_polish on rows: 2x weighted Horn + GN polish (degree-1 LM
     on prev-left reprojection), each accepted only if the inlier count does
-    not drop. Returns (q, R, t, inl)."""
+    not drop. Returns (q, t, inl)."""
     Xc, Xp, uv_pl, chain = rows["Xc"], rows["Xp"], rows["uv_pl"], rows["ch"]
     for _ in range(2):
         q2, R2, t2 = _horn_rows(Xc, Xp, inl)
@@ -491,22 +491,20 @@ def precompute_hypotheses(key: jax.Array, prep: PreparedSolve,
     return FusedHypotheses(hyp=hyp.astype(jnp.float32))
 
 
-def fused_solve(hyp: FusedHypotheses, prep: PreparedSolve, P_l: jax.Array,
-                P_r: jax.Array, q_pred: jax.Array, t_pred: jax.Array,
-                frame_count: jax.Array, cfg: VOConfig,
-                interpret: bool = False) -> SolveResult:
-    """One-kernel replacement for solver.solve_prepared's prior-dependent
-    core (single-batch RANSAC + unrolled-LM configuration required)."""
-    if cfg.lm_unroll <= 0:
-        raise ValueError("fused_solve requires cfg.lm_unroll > 0 "
-                         "(trace-unrolled LM, the sequential-path tuning)")
+def pack_points(prep: PreparedSolve) -> jax.Array:
+    """Pack a PreparedSolve into the kernel's (16, Lp) row layout.
+
+    Prior-independent — the hybrid online mode vmaps this over all pairs in
+    the frame-parallel phase so the sequential scan body issues only the
+    scalar vector + the kernel launch (packing inside the scan would pay the
+    very per-op dispatch overhead the kernel exists to erase)."""
     L = prep.chain.shape[0]
     Lp = max(128, -(-L // 128) * 128)
 
     def pad(row):
         return jnp.pad(row.astype(jnp.float32), (0, Lp - L))
 
-    pts = jnp.stack([
+    return jnp.stack([
         pad(prep.pts3d_curr[:, 0]), pad(prep.pts3d_curr[:, 1]),
         pad(prep.pts3d_curr[:, 2]),
         pad(prep.pts3d_prev[:, 0]), pad(prep.pts3d_prev[:, 1]),
@@ -518,6 +516,25 @@ def fused_solve(hyp: FusedHypotheses, prep: PreparedSolve, P_l: jax.Array,
         pad(prep.chain.astype(jnp.float32)),
         jnp.zeros((Lp,), jnp.float32),
     ])                                                 # (16, Lp)
+
+
+def fused_solve(hyp: FusedHypotheses, prep: PreparedSolve, P_l: jax.Array,
+                P_r: jax.Array, q_pred: jax.Array, t_pred: jax.Array,
+                frame_count: jax.Array, cfg: VOConfig,
+                interpret: bool = False,
+                pts: jax.Array | None = None) -> SolveResult:
+    """One-kernel replacement for solver.solve_prepared's prior-dependent
+    core (single-batch RANSAC + unrolled-LM configuration required).
+
+    `pts` — optionally a precomputed `pack_points(prep)` result, so scan
+    bodies don't re-pack per frame."""
+    if cfg.lm_unroll <= 0:
+        raise ValueError("fused_solve requires cfg.lm_unroll > 0 "
+                         "(trace-unrolled LM, the sequential-path tuning)")
+    L = prep.chain.shape[0]
+    if pts is None:
+        pts = pack_points(prep)
+    Lp = pts.shape[1]
 
     scal = jnp.concatenate([
         q_pred.astype(jnp.float32), t_pred.astype(jnp.float32),

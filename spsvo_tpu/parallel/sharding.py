@@ -228,15 +228,14 @@ def build_online_hybrid(apply_fn, cfg: VOConfig):
     the scalar gates (`solver.solve_speculative`). Equality with the
     non-speculative scan is test-pinned.
     """
-    from spsvo_tpu.ops.solver import (precompute_speculative, prepare_solve,
+    from spsvo_tpu.ops.solver import (pallas_solver_eligible,
+                                      precompute_speculative, prepare_solve,
                                       solve_prepared, solve_speculative)
 
     single_batch = (cfg.ransac_chunk <= 0
                     or cfg.ransac_chunk >= cfg.ransac_iterations)
     speculative = cfg.speculative_solve and single_batch
-    pallas_solver = (cfg.use_pallas_solver and single_batch
-                     and cfg.lm_unroll > 0
-                     and jax.default_backend() == "tpu")
+    pallas_solver = pallas_solver_eligible(cfg)
 
     def fn(params, images, P_l, P_r, key):
         n = images.shape[0]
@@ -278,21 +277,23 @@ def build_online_hybrid(apply_fn, cfg: VOConfig):
             # (ops/solver_pallas.py) — erases the per-op dispatch overhead
             # that dominates the sequential scan (BENCH_NOTES.md).
             from spsvo_tpu.ops.solver_pallas import (fused_solve,
+                                                     pack_points,
                                                      precompute_hypotheses)
             hyps = jax.vmap(
                 lambda k, p: precompute_hypotheses(k, p, cfg))(keys, preps)
+            ptss = jax.vmap(pack_points)(preps)   # frame-parallel packing
 
             def body(carry, xs):
                 q_pred, t_pred, fc = carry
-                prep, hyp = xs
+                prep, hyp, pts = xs
                 res = fused_solve(hyp, prep, P_l, P_r, q_pred, t_pred, fc,
-                                  cfg)
+                                  cfg, pts=pts)
                 d = diag_of(res)
                 d["prior_winner"] = res.prior_winner
                 return ((res.q_pred, res.t_pred, fc + 1),
                         (res.q, res.t, d))
 
-            xs = (preps, hyps)
+            xs = (preps, hyps, ptss)
         elif speculative:
             # phase 2.6 (parallel): sampled-winner RANSAC + refinement —
             # everything in the solve that does not touch the motion prior

@@ -59,10 +59,16 @@ def flagship_tpu() -> VOConfig:
         model_batch_size=2,
         image_height=120, image_width=392,
         max_keypoints=512,
+        ransac_iterations=256,
+        # sequential-path tuning (accuracy pinned on synthetic drives,
+        # tests/test_parallel.py::test_online_hybrid_tuned_config_accuracy):
+        # one exhaustive RANSAC batch, 6 unrolled LM iterations, chain
+        # compaction to 128 solver lanes — the configuration the fused
+        # Pallas solver requires (solver.pallas_solver_eligible)
+        ransac_chunk=0, lm_unroll=6, solve_slots=128,
         use_pallas_matcher=True,   # fused VMEM matcher (XLA fallback off-TPU)
-        use_pallas_solver=True)    # fused whole-solver kernel for the hybrid
-    # online scan (single-batch-RANSAC + unrolled-LM configs only; XLA
-    # fallback elsewhere)
+        use_pallas_solver=True)    # fused whole-solver kernel (XLA fallback
+    # off-TPU / non-eligible configs)
 
 
 def main_config(is_classic: bool = False, is_jetson: bool = False

@@ -149,8 +149,8 @@ def test_nms_parity_on_real_model_heatmap(sample_image_dir):
 
 
 def test_refine_subpixel_recovers_gaussian_peak(rng):
-    """A Gaussian peak at a fractional position: the 3x3 centroid must move
-    the integer argmax toward the true centre."""
+    """A Gaussian peak at a fractional position: the parabolic refinement
+    must move the integer argmax toward the true centre."""
     h, w = 48, 64
     cy, cx = 20.62, 33.31
     yy, xx = np.mgrid[0:h, 0:w]
