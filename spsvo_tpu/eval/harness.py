@@ -111,15 +111,107 @@ def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
     return SequenceResult(poses, latencies, diags, vo.cfg.config_string)
 
 
+def run_sequence_fused(cfg: VOConfig,
+                       frames: Iterable[Tuple[np.ndarray, np.ndarray]],
+                       P_l: np.ndarray, P_r: np.ndarray,
+                       mode: str = "hybrid",
+                       results_dir: Optional[str] = None,
+                       description: str = "default",
+                       kitti_eval_id: Optional[int] = None
+                       ) -> SequenceResult:
+    """Whole-sequence on-device execution — the fast modes, from the same
+    harness surface as `run_sequence`.
+
+    mode="hybrid": `parallel.build_online_hybrid` — exact online gate/prior
+    semantics, prior-independent stages frame-parallel (the bench headline).
+    mode="batch":  `parallel.build_batch_vo` — identity-prior RANSAC with
+    the gates re-applied in a scalar post-scan (offline throughput mode).
+
+    Raw frames are preprocessed host-side (crop+resize+P-update, the C3
+    contract) and shipped once; the whole sequence runs as one device
+    program, so per-frame latencies are reported as the amortised mean (the
+    per-frame CSV contract needs `run_sequence`). Returns world poses
+    (identity first frame), like the reference's result saver."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from spsvo_tpu.models import zoo
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
+    from spsvo_tpu.parallel import sharding
+
+    if cfg.is_classic:
+        raise ValueError("fused device modes need the CNN front end; "
+                         "classic configs use run_sequence (mode='frame')")
+    frames = list(frames)
+    n_real = len(frames)
+    h0, w0 = frames[0][0].shape
+    h = cfg.image_height or h0
+    w = cfg.image_width or w0
+    P_l2 = update_projection_matrix_np(np.asarray(P_l, np.float64),
+                                       h0, w0, h, w)
+    P_r2 = update_projection_matrix_np(np.asarray(P_r, np.float64),
+                                       h0, w0, h, w)
+    imgs = np.stack([np.stack([preprocess_image_np(il, h, w),
+                               preprocess_image_np(ir, h, w)])
+                     for il, ir in frames])
+
+    from spsvo_tpu.config import Precision
+    dtype = (jnp.bfloat16 if cfg.precision == Precision.BF16
+             else jnp.float32)
+    apply_fn, params = zoo.load_model(
+        cfg.model_name_prefix, dtype,
+        int8=(cfg.precision == Precision.INT8))
+    if mode == "hybrid":
+        fn = sharding.build_online_hybrid(apply_fn, cfg)
+    elif mode == "batch":
+        mesh = sharding.make_mesh()
+        m = mesh.devices.size
+        if imgs.shape[0] % m:   # frames shard over the mesh: pad, trim after
+            pad = m - imgs.shape[0] % m
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+        fn = sharding.build_batch_vo(apply_fn, cfg, mesh)
+    else:
+        raise ValueError(f"unknown fused mode {mode!r}")
+
+    args = (params, jnp.asarray(imgs), jnp.asarray(P_l2, jnp.float32),
+            jnp.asarray(P_r2, jnp.float32), jax.random.PRNGKey(0))
+    world, diags = fn(*args)        # compile + first run
+    world = np.asarray(world)
+    t0 = _time.perf_counter()
+    world = np.asarray(fn(*args)[0])[:n_real]
+    elapsed = _time.perf_counter() - t0
+
+    n = world.shape[0]
+    per_frame_ms = elapsed / n * 1000.0
+    poses = [world[i] for i in range(n)]
+    latencies = [{"detect": 0.0, "match": 0.0, "solve": 0.0,
+                  "total": per_frame_ms} for _ in range(n)]
+    diag_rows = [{k: float(np.asarray(v)[i]) for k, v in diags.items()}
+                 for i in range(min(n - 1, len(next(iter(diags.values())))))]
+    if results_dir is not None:
+        d = os.path.join(results_dir, description or "default")
+        os.makedirs(d, exist_ok=True)
+        name = (kitti.result_filename(kitti_eval_id)
+                if kitti_eval_id is not None else "pred.txt")
+        kitti.write_kitti_poses(os.path.join(d, name), poses)
+    return SequenceResult(poses, latencies, diag_rows, cfg.config_string)
+
+
 def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
                 results_dir: str = "kitti_results",
                 latency_dir: str = "kitti_latency_csvs",
                 description: str = "default",
-                max_frames: Optional[int] = None) -> SequenceResult:
+                max_frames: Optional[int] = None,
+                mode: str = "frame") -> SequenceResult:
     """The reference's action-goal entry point (kitti_eval_id 0..13).
 
     Requires the KITTI odometry layout under `kitti_root` with sequences
-    named 00..10 for ids 0..10."""
+    named 00..10 for ids 0..10. `mode`: "frame" (per-frame online API) or
+    a fused device mode ("hybrid"/"batch", see run_sequence_fused) — for
+    fused modes `vo` only supplies the config."""
     if not 0 <= kitti_eval_id < len(kitti.KITTI_EVAL_DRIVES):
         raise ValueError(f"kitti_eval_id {kitti_eval_id} out of range")
     start = kitti.KITTI_EVAL_START_FRAME[kitti_eval_id]
@@ -129,6 +221,11 @@ def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
     seq = kitti.KittiOdometrySequence(
         kitti_root, f"{kitti_eval_id:02d}", start=start,
         end=None if end >= 2**31 - 1 else end + 1)
+    if mode != "frame":
+        return run_sequence_fused(
+            vo.cfg, iter(seq), seq.P_l, seq.P_r, mode=mode,
+            results_dir=results_dir, description=description,
+            kitti_eval_id=kitti_eval_id)
     return run_sequence(
         vo, iter(seq), seq.P_l, seq.P_r, results_dir=results_dir,
         description=description, kitti_eval_id=kitti_eval_id,

@@ -54,10 +54,15 @@ def cmd_eval(args) -> int:
         for f in sorted(os.listdir(d)):
             img = cv2.imread(os.path.join(d, f), cv2.IMREAD_GRAYSCALE)
             frames.append((img, np.roll(img, -8, axis=1)))
-        res = harness.run_sequence(
-            vo, frames, P, P_r, results_dir=args.results_dir,
-            description=args.description, latency_dir=args.latency_dir,
-            machine_name=cfg.machine_name, sequence_tag="sample")
+        if args.mode != "frame":
+            res = harness.run_sequence_fused(
+                cfg, frames, P, P_r, mode=args.mode,
+                results_dir=args.results_dir, description=args.description)
+        else:
+            res = harness.run_sequence(
+                vo, frames, P, P_r, results_dir=args.results_dir,
+                description=args.description, latency_dir=args.latency_dir,
+                machine_name=cfg.machine_name, sequence_tag="sample")
         print(f"{len(res.poses)} frames, {res.fps:.1f} FPS, "
               f"mean {res.mean_total_ms:.1f} ms")
         return 0
@@ -68,7 +73,7 @@ def cmd_eval(args) -> int:
     res = harness.run_eval_id(
         vo, args.kitti_root, args.eval_id, results_dir=args.results_dir,
         latency_dir=args.latency_dir, description=args.description,
-        max_frames=args.max_frames)
+        max_frames=args.max_frames, mode=args.mode)
     print(f"seq {args.eval_id}: {len(res.poses)} frames, "
           f"{res.fps:.1f} FPS")
     if args.ground_truth:
@@ -132,6 +137,13 @@ def main(argv=None) -> int:
     p.add_argument("--ground-truth", default=None,
                    help="KITTI gt pose file to score against")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--mode", default="frame",
+                   choices=("frame", "hybrid", "batch"),
+                   help="execution mode: per-frame online API (reference "
+                        "semantics, per-frame latency CSV), 'hybrid' = "
+                        "whole-sequence on-device with exact online "
+                        "semantics (the bench headline mode), 'batch' = "
+                        "offline throughput mode")
     p.add_argument("--sample-images", action="store_true",
                    help="run over the 22 bundled reference frames")
     p.add_argument("--compile-sweep", action="store_true",

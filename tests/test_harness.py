@@ -200,3 +200,53 @@ def test_run_sweep_classic_config(tmp_path, rng):
                              gt_poses=poses, max_frames=4)
     assert "error" not in rows[0], rows[0]
     assert rows[0]["final_drift_percent"] < 10.0, rows[0]
+
+
+def test_run_eval_id_fused_modes_on_fake_kitti_tree(tmp_path):
+    """The fused device modes (hybrid/batch) must be reachable through the
+    same eval-id harness surface, write the same pose artefact and match
+    ground truth. Batch mode exercises mesh-size padding (6 frames over the
+    8-device virtual mesh)."""
+    import cv2
+
+    from spsvo_tpu.eval.synthetic import synthetic_drive
+    from spsvo_tpu.io import kitti
+    from spsvo_tpu.pipeline import VisualOdometry
+
+    rng = np.random.default_rng(11)
+    frames, poses, P_l, P_r = synthetic_drive(rng, n_frames=6)
+
+    seq = tmp_path / "sequences" / "00"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir(parents=True)
+    for i, (il, ir) in enumerate(frames):
+        cv2.imwrite(str(seq / "image_0" / f"{i:06d}.png"), il)
+        cv2.imwrite(str(seq / "image_1" / f"{i:06d}.png"), ir)
+    with open(seq / "calib.txt", "w") as f:
+        f.write("P0: " + " ".join(str(v) for v in P_l.reshape(-1)) + "\n")
+        f.write("P1: " + " ".join(str(v) for v in P_r.reshape(-1)) + "\n")
+    gt_file = tmp_path / "00_gt.txt"
+    kitti.write_kitti_poses(str(gt_file), poses)
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=64, max_keypoints=128)
+    vo = VisualOdometry(cfg)
+    for mode in ("hybrid", "batch"):
+        res = harness.run_eval_id(
+            vo, str(tmp_path), kitti_eval_id=0,
+            results_dir=str(tmp_path / f"kitti_results_{mode}"),
+            description="fused", max_frames=6, mode=mode)
+        assert len(res.poses) == 6
+        assert (tmp_path / f"kitti_results_{mode}" / "fused" /
+                kitti.result_filename(0)).exists()
+        scores = harness.score_against_ground_truth(res.poses, str(gt_file))
+        assert scores["ate_m"] < 0.15, (mode, scores)
+        assert res.fps > 0
+
+
+def test_run_sequence_fused_rejects_classic():
+    import pytest
+
+    cfg = VOConfig(is_classic=True, image_height=0, image_width=0)
+    with pytest.raises(ValueError, match="classic"):
+        harness.run_sequence_fused(cfg, [], np.eye(3, 4), np.eye(3, 4))
