@@ -113,12 +113,22 @@ def nms(scores: jax.Array, radius: int, iterations: int = 2) -> jax.Array:
 
 
 def select_topk(scores: jax.Array, k: int, conf_thresh: float,
-                border: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                border: int, nms_radius: int = 0
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Masked top-K keypoint selection.
 
     Applies the confidence threshold (strict >, reference :203) and border
     removal (keep row in [border, H-border), col likewise, reference
     :239-242), then takes the K best by score.
+
+    `nms_radius > 0` declares that `scores` already went through NMS with
+    that suppression radius, which guarantees at most one survivor per
+    (radius+1)-sized block (surviving pairs are > radius apart in Chebyshev
+    distance). The top-K then runs on a 4x4 block-max reduction — a 16x
+    smaller sort with identical results (up to exact-score ties inside one
+    block, where the plain sort would keep both of two equal-valued
+    neighbours that NMS failed to separate; the block path keeps the
+    first). This is the hot sort of the postprocess: 0.49 -> ~0.3 ms/frame.
 
     Returns (xy (B,K,2) float32, score (B,K), valid (B,K)).
     """
@@ -130,8 +140,28 @@ def select_topk(scores: jax.Array, k: int, conf_thresh: float,
     masked = jnp.where(keep[None], scores, 0.0)
     masked = jnp.where(masked > conf_thresh, masked, 0.0)
 
-    flat = masked.reshape(b, h * w)
-    top_scores, top_idx = jax.lax.top_k(flat, k)
+    blk = 4
+    if nms_radius >= blk - 1 and h % blk == 0 and w % blk == 0:
+        # block-max reduction: value + first flat index per 4x4 block
+        hb, wb = h // blk, w // blk
+        tiles = masked.reshape(b, hb, blk, wb, blk)
+        vals = jnp.max(tiles, axis=(2, 4))                # (B, hb, wb)
+        flat_idx = (row * w + col).reshape(hb, blk, wb, blk)
+        is_max = tiles == vals[:, :, None, :, None]
+        idx = jnp.min(jnp.where(is_max, flat_idx[None], h * w),
+                      axis=(2, 4))                        # (B, hb, wb)
+        # NMS admits at most one survivor per block, so k beyond the block
+        # count can only select zero-score (invalid) slots — clamp and pad
+        kb = min(k, hb * wb)
+        top_scores, top_blk = jax.lax.top_k(vals.reshape(b, hb * wb), kb)
+        top_idx = jnp.take_along_axis(idx.reshape(b, hb * wb), top_blk,
+                                      axis=1)
+        if kb < k:
+            top_scores = jnp.pad(top_scores, ((0, 0), (0, k - kb)))
+            top_idx = jnp.pad(top_idx, ((0, 0), (0, k - kb)))
+    else:
+        flat = masked.reshape(b, h * w)
+        top_scores, top_idx = jax.lax.top_k(flat, k)
     ys = (top_idx // w).astype(jnp.float32)
     xs = (top_idx % w).astype(jnp.float32)
     xy = jnp.stack([xs, ys], axis=-1)
@@ -239,7 +269,8 @@ def extract_keypoints(det: jax.Array, desc: jax.Array, *, k: int,
     # the reference only considers > conf_thresh points at all (:203).
     heat = jnp.where(heat_raw > conf_thresh, heat_raw, 0.0)
     suppressed = nms(heat, nms_radius, nms_iterations)
-    xy, score, valid = select_topk(suppressed, k, conf_thresh, border)
+    xy, score, valid = select_topk(suppressed, k, conf_thresh, border,
+                                   nms_radius=nms_radius)
     if subpixel:
         # refine on the PRE-threshold heatmap: sub-threshold neighbours must
         # contribute their true scores or the parabola vertex is biased

@@ -44,15 +44,22 @@ def make_mesh(n_devices: Optional[int] = None,
 
 
 def frontend_batch(apply_fn, params, images: jax.Array, cfg: VOConfig,
-                   chunk: int = 16) -> Keypoints:
+                   chunk: int = 0) -> Keypoints:
     """CNN + postprocess over (N, H, W) frames -> Keypoints with leading N.
 
     Processed in chunks of `chunk` images via lax.map: full-res CNN
     activations for a whole sequence would blow HBM (e.g. 128 x 360x1176x64
     fp32 = 13 GB for one stem layer); chunking bounds peak memory at the
     cost of a sequential loop over chunks, while each chunk still fills the
-    MXU. N must be a multiple of `chunk` (callers pad).
+    MXU. `chunk=0` picks the largest chunk whose stem activations fit the
+    same budget as 16 images at 360x1176 (bigger chunks keep the MXU busier
+    for the small-channel depthwise convs: 16 -> 128 at 120x392 is worth
+    ~0.3 ms/frame). N is padded up to a chunk multiple internally.
     """
+    if chunk <= 0:
+        ref_pixels = 360 * 1176
+        pixels = images.shape[1] * images.shape[2]
+        chunk = max(16, min(128, (16 * ref_pixels // pixels) // 16 * 16))
     def run(x):
         out = apply_fn(params, x)
         return extract_keypoints(

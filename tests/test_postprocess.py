@@ -181,3 +181,20 @@ def test_refine_subpixel_edge_clipping(rng):
     refined = np.asarray(pp.refine_subpixel(
         jnp.asarray(heat), xy, jnp.ones((1, 1), bool)))
     np.testing.assert_allclose(refined, np.asarray(xy), atol=1e-6)
+
+
+def test_select_topk_block_path_matches_plain(rng):
+    """The 4x4 block-max top-K fast path must agree with the plain sort on
+    NMS'd heatmaps (the NMS invariant: at most one survivor per block)."""
+    h, w = 64, 96
+    for trial in range(5):
+        raw = rng.random((2, h, w)).astype(np.float32) ** 6
+        heat = jnp.where(jnp.asarray(raw) > 0.015, jnp.asarray(raw), 0.0)
+        sup = pp.nms(heat, radius=4, iterations=2)
+        xy_p, sc_p, v_p = pp.select_topk(sup, 100, 0.015, 4, nms_radius=0)
+        xy_b, sc_b, v_b = pp.select_topk(sup, 100, 0.015, 4, nms_radius=4)
+        np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_b))
+        m = np.asarray(v_p)
+        np.testing.assert_allclose(np.asarray(sc_p)[m], np.asarray(sc_b)[m])
+        np.testing.assert_array_equal(np.asarray(xy_p)[m],
+                                      np.asarray(xy_b)[m])
