@@ -48,6 +48,16 @@ class SequenceResult:
         return 1000.0 / m if m and np.isfinite(m) else float("nan")
 
 
+def _write_pose_file(poses, results_dir, description, kitti_eval_id) -> None:
+    """The reference result saver's artefact: kitti_results/<desc>/<file>
+    (data_processing_node.cpp:103-109)."""
+    d = os.path.join(results_dir, description or "default")
+    os.makedirs(d, exist_ok=True)
+    name = (kitti.result_filename(kitti_eval_id)
+            if kitti_eval_id is not None else "pred.txt")
+    kitti.write_kitti_poses(os.path.join(d, name), poses)
+
+
 def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
                  P_l: np.ndarray, P_r: np.ndarray,
                  results_dir: Optional[str] = None,
@@ -93,11 +103,7 @@ def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
 
     poses = list(vo.trajectory)
     if results_dir is not None:
-        d = os.path.join(results_dir, description or "default")
-        os.makedirs(d, exist_ok=True)
-        name = (kitti.result_filename(kitti_eval_id)
-                if kitti_eval_id is not None else "pred.txt")
-        kitti.write_kitti_poses(os.path.join(d, name), poses)
+        _write_pose_file(poses, results_dir, description, kitti_eval_id)
     if latency_dir is not None:
         d = os.path.join(latency_dir, machine_name)
         os.makedirs(d, exist_ok=True)
@@ -132,11 +138,10 @@ def run_sequence_fused(cfg: VOConfig,
     program, so per-frame latencies are reported as the amortised mean (the
     per-frame CSV contract needs `run_sequence`). Returns world poses
     (identity first frame), like the reference's result saver."""
-    import time as _time
-
     import jax
     import jax.numpy as jnp
 
+    from spsvo_tpu.config import Precision
     from spsvo_tpu.models import zoo
     from spsvo_tpu.ops.image import (preprocess_image_np,
                                      update_projection_matrix_np)
@@ -147,6 +152,8 @@ def run_sequence_fused(cfg: VOConfig,
                          "classic configs use run_sequence (mode='frame')")
     frames = list(frames)
     n_real = len(frames)
+    if n_real < 2:
+        raise ValueError(f"fused modes need at least 2 frames, got {n_real}")
     h0, w0 = frames[0][0].shape
     h = cfg.image_height or h0
     w = cfg.image_width or w0
@@ -158,7 +165,6 @@ def run_sequence_fused(cfg: VOConfig,
                                preprocess_image_np(ir, h, w)])
                      for il, ir in frames])
 
-    from spsvo_tpu.config import Precision
     dtype = (jnp.bfloat16 if cfg.precision == Precision.BF16
              else jnp.float32)
     apply_fn, params = zoo.load_model(
@@ -180,9 +186,9 @@ def run_sequence_fused(cfg: VOConfig,
             jnp.asarray(P_r2, jnp.float32), jax.random.PRNGKey(0))
     world, diags = fn(*args)        # compile + first run
     world = np.asarray(world)
-    t0 = _time.perf_counter()
+    t0 = time.perf_counter()
     world = np.asarray(fn(*args)[0])[:n_real]
-    elapsed = _time.perf_counter() - t0
+    elapsed = time.perf_counter() - t0
 
     n = world.shape[0]
     per_frame_ms = elapsed / n * 1000.0
@@ -192,11 +198,7 @@ def run_sequence_fused(cfg: VOConfig,
     diag_rows = [{k: float(np.asarray(v)[i]) for k, v in diags.items()}
                  for i in range(min(n - 1, len(next(iter(diags.values())))))]
     if results_dir is not None:
-        d = os.path.join(results_dir, description or "default")
-        os.makedirs(d, exist_ok=True)
-        name = (kitti.result_filename(kitti_eval_id)
-                if kitti_eval_id is not None else "pred.txt")
-        kitti.write_kitti_poses(os.path.join(d, name), poses)
+        _write_pose_file(poses, results_dir, description, kitti_eval_id)
     return SequenceResult(poses, latencies, diag_rows, cfg.config_string)
 
 
@@ -211,7 +213,8 @@ def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
     Requires the KITTI odometry layout under `kitti_root` with sequences
     named 00..10 for ids 0..10. `mode`: "frame" (per-frame online API) or
     a fused device mode ("hybrid"/"batch", see run_sequence_fused) — for
-    fused modes `vo` only supplies the config."""
+    fused modes `vo` may be a bare VOConfig (the pipeline object is not
+    needed there)."""
     if not 0 <= kitti_eval_id < len(kitti.KITTI_EVAL_DRIVES):
         raise ValueError(f"kitti_eval_id {kitti_eval_id} out of range")
     start = kitti.KITTI_EVAL_START_FRAME[kitti_eval_id]
@@ -222,8 +225,9 @@ def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
         kitti_root, f"{kitti_eval_id:02d}", start=start,
         end=None if end >= 2**31 - 1 else end + 1)
     if mode != "frame":
+        cfg = vo if isinstance(vo, VOConfig) else vo.cfg
         return run_sequence_fused(
-            vo.cfg, iter(seq), seq.P_l, seq.P_r, mode=mode,
+            cfg, iter(seq), seq.P_l, seq.P_r, mode=mode,
             results_dir=results_dir, description=description,
             kitti_eval_id=kitti_eval_id)
     return run_sequence(

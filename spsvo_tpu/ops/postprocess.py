@@ -125,10 +125,13 @@ def select_topk(scores: jax.Array, k: int, conf_thresh: float,
     that suppression radius, which guarantees at most one survivor per
     (radius+1)-sized block (surviving pairs are > radius apart in Chebyshev
     distance). The top-K then runs on a 4x4 block-max reduction — a 16x
-    smaller sort with identical results (up to exact-score ties inside one
-    block, where the plain sort would keep both of two equal-valued
-    neighbours that NMS failed to separate; the block path keeps the
-    first). This is the hot sort of the postprocess: 0.49 -> ~0.3 ms/frame.
+    smaller sort with identical results up to EXACT-score ties: inside a
+    block the plain sort would keep both of two equal-valued neighbours NMS
+    failed to separate (the block path keeps the first), and across blocks
+    equal scores at the k-th boundary may order/select differently (plain
+    sorts by flat pixel index, blocks by block raster order). Measure-zero
+    for real heatmaps; equality is test-pinned on random NMS'd maps. This
+    is the hot sort of the postprocess: 0.22 -> ~0.03 ms/frame.
 
     Returns (xy (B,K,2) float32, score (B,K), valid (B,K)).
     """

@@ -59,7 +59,10 @@ def frontend_batch(apply_fn, params, images: jax.Array, cfg: VOConfig,
     if chunk <= 0:
         ref_pixels = 360 * 1176
         pixels = images.shape[1] * images.shape[2]
-        chunk = max(16, min(128, (16 * ref_pixels // pixels) // 16 * 16))
+        # round down to a multiple of 8 within [8, 128]: inputs LARGER than
+        # the 360x1176 reference shrink the chunk below 16 so the stated
+        # activation budget still holds
+        chunk = min(128, max(8, (16 * ref_pixels // pixels) // 8 * 8))
     def run(x):
         out = apply_fn(params, x)
         return extract_keypoints(

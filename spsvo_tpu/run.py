@@ -40,7 +40,13 @@ def cmd_eval(args) -> int:
     if not args.sample_images and args.kitti_root is None:
         print("need --kitti-root or --sample-images", file=sys.stderr)
         return 2
-    vo = _build_vo(cfg)
+    if args.mode != "frame" and cfg.is_classic:
+        print("--mode hybrid/batch needs the CNN front end (classic "
+              "configs run per-frame)", file=sys.stderr)
+        return 2
+    # fused modes build their own device program from cfg — constructing the
+    # per-frame pipeline here would load the model twice for nothing
+    vo = _build_vo(cfg) if args.mode == "frame" else None
 
     if args.sample_images:
         import cv2
@@ -71,7 +77,8 @@ def cmd_eval(args) -> int:
         print("need --kitti-root or --sample-images", file=sys.stderr)
         return 2
     res = harness.run_eval_id(
-        vo, args.kitti_root, args.eval_id, results_dir=args.results_dir,
+        vo if args.mode == "frame" else cfg,
+        args.kitti_root, args.eval_id, results_dir=args.results_dir,
         latency_dir=args.latency_dir, description=args.description,
         max_frames=args.max_frames, mode=args.mode)
     print(f"seq {args.eval_id}: {len(res.poses)} frames, "
