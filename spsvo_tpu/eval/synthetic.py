@@ -54,7 +54,13 @@ def synthetic_drive(rng: np.random.Generator, n_frames: int = 10,
     Returns (frames [(img_l, img_r) uint8], gt_poses [world_T_cam 4x4],
     P_l 3x4, P_r 3x4). `twists` overrides the built-in motion: a list of
     (rotvec(3), translation(3)) pairs applied per frame.
-    """
+
+    The scene is a fronto-parallel textured plane at `depth` metres: the
+    drive is only valid while the camera stays in FRONT of it (total
+    forward travel < depth). Scale `depth` with the drive length for
+    long-horizon sequences (a RuntimeWarning fires past 90% of the budget
+    and the rendered geometry degenerates into mirror projections beyond
+    it — estimators then rightly lose track)."""
     import cv2
     P_l = DEFAULT_P_L.copy() if P_l is None else np.asarray(P_l, np.float64)
     P_r = P_l.copy()
@@ -83,6 +89,13 @@ def synthetic_drive(rng: np.random.Generator, n_frames: int = 10,
                 dT[:3, 3] = [0.0, 0.0, forward_per_frame]
             T = T @ dT
         poses.append(T.copy())
+        if T[2, 3] > 0.9 * depth:
+            import warnings
+            warnings.warn(
+                f"synthetic_drive: frame {i} is {T[2, 3]:.1f} m forward of "
+                f"a plane at depth={depth} m — geometry degenerates at the "
+                "plane; pass a larger `depth` for this drive length",
+                RuntimeWarning, stacklevel=2)
         Tinv = np.linalg.inv(T)
 
         def render(P):
