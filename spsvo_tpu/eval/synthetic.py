@@ -4,9 +4,13 @@ The reference validates only against KITTI bags it cannot ship (SURVEY.md §4);
 this module renders exact stereo sequences with known motion so accuracy is
 testable hermetically:
 
-  * scene = textured plane (z = depth in the frame-0 camera), so every view —
-    both stereo eyes, every frame — is an exact homography warp of one
-    texture (sub-pixel consistent, no splatting artefacts);
+  * `synthetic_drive`: scene = textured plane (z = depth in the frame-0
+    camera), every view an exact homography warp of one texture (sub-pixel
+    consistent, no splatting artefacts); bounded drive length (see its
+    docstring);
+  * `synthetic_corridor`: ray-cast ground plane + side walls — true depth
+    diversity (near high-disparity AND far low-disparity points, the
+    KITTI-like regime), unbounded drive length;
   * trajectories: straight, curved (yaw rate), or a custom list of per-frame
     twists;
   * returns ground-truth world_T_cam poses for ATE/RPE/KITTI-metric scoring
@@ -124,3 +128,103 @@ def score_trajectory(est_poses: Sequence[np.ndarray],
     }
     out.update(metrics.rpe(gt, est))
     return out
+
+
+def synthetic_corridor(rng: np.random.Generator, n_frames: int = 10,
+                       h: int = 375, w: int = 1242,
+                       forward_per_frame: float = 0.35,
+                       yaw_rate: float = 0.0,
+                       twists: Optional[Sequence[np.ndarray]] = None,
+                       half_width: float = 6.0, cam_height: float = 1.65,
+                       max_range: float = 80.0,
+                       P_l: Optional[np.ndarray] = None,
+                       baseline_fx: float = DEFAULT_BASELINE_FX
+                       ) -> Tuple[List[Tuple[np.ndarray, np.ndarray]],
+                                  List[np.ndarray], np.ndarray, np.ndarray]:
+    """Ray-cast stereo sequence through a textured corridor.
+
+    A KITTI-like scene with true depth DIVERSITY (unlike the single
+    fronto-parallel plane of `synthetic_drive`): a ground plane at
+    y=+cam_height stretching toward the horizon plus side walls at
+    x=+-half_width, all carrying wrapping blob textures, so every frame
+    mixes near high-disparity and far low-disparity points — and the
+    corridor is unbounded forward (no envelope limit on drive length).
+    Pixels whose rays hit nothing within `max_range` (the "sky") render
+    flat grey. Exact per-pixel ray casting; same return contract as
+    `synthetic_drive`. Camera convention: x right, y DOWN, z forward.
+    """
+    P_l = DEFAULT_P_L.copy() if P_l is None else np.asarray(P_l, np.float64)
+    P_r = P_l.copy()
+    P_r[0, 3] = baseline_fx
+
+    texs = [blob_texture(rng, 768, 768).astype(np.float32)
+            for _ in range(3)]  # ground, left wall, right wall
+    tex_scale = 96.0  # texture pixels per metre
+
+    K = P_l[:, :3]
+    Kinv = np.linalg.inv(K)
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    rays_cam = (Kinv @ np.stack(
+        [uu.ravel(), vv.ravel(), np.ones(h * w)])).T        # (hw, 3)
+
+    def sample(tex, a, b):
+        """Bilinear sample with wrap; a/b in metres."""
+        th_, tw_ = tex.shape
+        x = (a * tex_scale) % tw_
+        y = (b * tex_scale) % th_
+        x0 = np.floor(x).astype(np.int64) % tw_
+        y0 = np.floor(y).astype(np.int64) % th_
+        x1 = (x0 + 1) % tw_
+        y1 = (y0 + 1) % th_
+        fx = x - np.floor(x)
+        fy = y - np.floor(y)
+        return (tex[y0, x0] * (1 - fy) * (1 - fx)
+                + tex[y0, x1] * (1 - fy) * fx
+                + tex[y1, x0] * fy * (1 - fx)
+                + tex[y1, x1] * fy * fx)
+
+    def render(T_world_cam, eye_offset_x):
+        R = T_world_cam[:3, :3]
+        C = T_world_cam[:3, 3] + R @ np.array(
+            [eye_offset_x, 0.0, 0.0])                       # eye centre
+        d = rays_cam @ R.T                                  # world ray dirs
+        best_t = np.full(h * w, np.inf)
+        img = np.full(h * w, 110.0, np.float32)             # sky grey
+
+        planes = (
+            # (axis, plane value, texture, uv axes): ground y=+cam_height
+            (1, cam_height, texs[0], (0, 2)),
+            (0, -half_width, texs[1], (2, 1)),
+            (0, half_width, texs[2], (2, 1)),
+        )
+        for axis, val, tex, (ua, va) in planes:
+            denom = d[:, axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (val - C[axis]) / denom
+            X = C[None, :] + t[:, None] * d
+            valid = (np.isfinite(t) & (t > 0.05) & (X[:, 2] > C[2] - 1.0)
+                     & (t * np.linalg.norm(d, axis=1) < max_range)
+                     & (t < best_t))
+            img = np.where(valid, sample(tex, X[:, ua], X[:, va]), img)
+            best_t = np.where(valid, t, best_t)
+        return np.clip(img.reshape(h, w), 0, 255).astype(np.uint8)
+
+    baseline = -baseline_fx / P_l[0, 0]                     # metres
+    frames: List[Tuple[np.ndarray, np.ndarray]] = []
+    poses: List[np.ndarray] = []
+    T = np.eye(4)
+    for i in range(n_frames):
+        if i > 0:
+            dT = np.eye(4)
+            if twists is not None:
+                rot, trans = twists[i - 1]
+                dT[:3, :3] = _rotvec_to_matrix(np.asarray(rot))
+                dT[:3, 3] = np.asarray(trans)
+            else:
+                dT[:3, :3] = _rotvec_to_matrix([0.0, yaw_rate, 0.0])
+                dT[:3, 3] = [0.0, 0.0, forward_per_frame]
+            T = T @ dT
+        poses.append(T.copy())
+        frames.append((render(T, 0.0), render(T, baseline)))
+    return frames, poses, P_l, P_r
