@@ -44,6 +44,26 @@ def blob_texture(rng: np.random.Generator, th: int = 1000, tw: int = 3000,
     return cv2.GaussianBlur(tex, (0, 0), 1.0)
 
 
+def _trajectory(n_frames, twists, yaw_rate, forward_per_frame):
+    """Accumulated world_T_cam poses for the built-in or twist-list motion
+    model (shared by both scene generators)."""
+    poses = []
+    T = np.eye(4)
+    for i in range(n_frames):
+        if i > 0:
+            dT = np.eye(4)
+            if twists is not None:
+                rot, trans = twists[i - 1]
+                dT[:3, :3] = _rotvec_to_matrix(np.asarray(rot))
+                dT[:3, 3] = np.asarray(trans)
+            else:
+                dT[:3, :3] = _rotvec_to_matrix([0.0, yaw_rate, 0.0])
+                dT[:3, 3] = [0.0, 0.0, forward_per_frame]
+            T = T @ dT
+        poses.append(T.copy())
+    return poses
+
+
 def synthetic_drive(rng: np.random.Generator, n_frames: int = 10,
                     h: int = 375, w: int = 1242, depth: float = 8.0,
                     forward_per_frame: float = 0.35,
@@ -79,20 +99,8 @@ def synthetic_drive(rng: np.random.Generator, n_frames: int = 10,
     tex = blob_texture(rng, th_, tw_)
 
     frames: List[Tuple[np.ndarray, np.ndarray]] = []
-    poses: List[np.ndarray] = []
-    T = np.eye(4)
-    for i in range(n_frames):
-        if i > 0:
-            dT = np.eye(4)
-            if twists is not None:
-                rot, trans = twists[i - 1]
-                dT[:3, :3] = _rotvec_to_matrix(np.asarray(rot))
-                dT[:3, 3] = np.asarray(trans)
-            else:
-                dT[:3, :3] = _rotvec_to_matrix([0.0, yaw_rate, 0.0])
-                dT[:3, 3] = [0.0, 0.0, forward_per_frame]
-            T = T @ dT
-        poses.append(T.copy())
+    poses = _trajectory(n_frames, twists, yaw_rate, forward_per_frame)
+    for i, T in enumerate(poses):
         if T[2, 3] > 0.9 * depth:
             import warnings
             warnings.warn(
@@ -167,6 +175,7 @@ def synthetic_corridor(rng: np.random.Generator, n_frames: int = 10,
                          np.arange(h, dtype=np.float64))
     rays_cam = (Kinv @ np.stack(
         [uu.ravel(), vv.ravel(), np.ones(h * w)])).T        # (hw, 3)
+    ray_norms = np.linalg.norm(rays_cam, axis=1)            # rotation-invariant
 
     def sample(tex, a, b):
         """Bilinear sample with wrap; a/b in metres."""
@@ -191,6 +200,7 @@ def synthetic_corridor(rng: np.random.Generator, n_frames: int = 10,
         d = rays_cam @ R.T                                  # world ray dirs
         best_t = np.full(h * w, np.inf)
         img = np.full(h * w, 110.0, np.float32)             # sky grey
+        dnorm = ray_norms                                   # |d| == |rays|
 
         planes = (
             # (axis, plane value, texture, uv axes): ground y=+cam_height
@@ -203,28 +213,17 @@ def synthetic_corridor(rng: np.random.Generator, n_frames: int = 10,
             with np.errstate(divide="ignore", invalid="ignore"):
                 t = (val - C[axis]) / denom
             X = C[None, :] + t[:, None] * d
-            valid = (np.isfinite(t) & (t > 0.05) & (X[:, 2] > C[2] - 1.0)
-                     & (t * np.linalg.norm(d, axis=1) < max_range)
-                     & (t < best_t))
+            # t > 0.05 alone keeps hits in front of the camera — no
+            # world-frame heading assumption, so turning drives stay valid
+            valid = (np.isfinite(t) & (t > 0.05)
+                     & (t * dnorm < max_range) & (t < best_t))
             img = np.where(valid, sample(tex, X[:, ua], X[:, va]), img)
             best_t = np.where(valid, t, best_t)
         return np.clip(img.reshape(h, w), 0, 255).astype(np.uint8)
 
     baseline = -baseline_fx / P_l[0, 0]                     # metres
     frames: List[Tuple[np.ndarray, np.ndarray]] = []
-    poses: List[np.ndarray] = []
-    T = np.eye(4)
-    for i in range(n_frames):
-        if i > 0:
-            dT = np.eye(4)
-            if twists is not None:
-                rot, trans = twists[i - 1]
-                dT[:3, :3] = _rotvec_to_matrix(np.asarray(rot))
-                dT[:3, 3] = np.asarray(trans)
-            else:
-                dT[:3, :3] = _rotvec_to_matrix([0.0, yaw_rate, 0.0])
-                dT[:3, 3] = [0.0, 0.0, forward_per_frame]
-            T = T @ dT
-        poses.append(T.copy())
+    poses = _trajectory(n_frames, twists, yaw_rate, forward_per_frame)
+    for T in poses:
         frames.append((render(T, 0.0), render(T, baseline)))
     return frames, poses, P_l, P_r
