@@ -247,7 +247,7 @@ def build_params(graph: OnnxGraph) -> Dict[str, np.ndarray]:
 
 
 def _conv(x, w, b, node: OnnxNode, compute_dtype, w_scale=None,
-          a_scale=None):
+          a_scale=None, x_q=None):
     pads = node.attr("pads", [0, 0, 0, 0])
     strides = [int(s) for s in node.attr("strides", [1, 1])]
     dilations = [int(d) for d in node.attr("dilations", [1, 1])]
@@ -256,7 +256,7 @@ def _conv(x, w, b, node: OnnxNode, compute_dtype, w_scale=None,
     if w.dtype == jnp.int8:
         from spsvo_tpu.models.quantize import int8_conv
         y = int8_conv(x.astype(jnp.float32), w, w_scale, strides, padding,
-                      dilations, groups, a_scale)
+                      dilations, groups, a_scale, x_q=x_q)
     else:
         y = jax.lax.conv_general_dilated(
             x.astype(compute_dtype), w.astype(compute_dtype),
@@ -275,8 +275,10 @@ def _maxpool(x, node: OnnxNode):
     pads = node.attr("pads", [0, 0, 0, 0])
     padding = ((0, 0), (int(pads[0]), int(pads[2])),
                (int(pads[1]), int(pads[3])), (0, 0))
+    init = (x.dtype.type(jnp.iinfo(x.dtype).min)
+            if jnp.issubdtype(x.dtype, jnp.integer) else -jnp.inf)
     return jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max,
+        x, init, jax.lax.max,
         window_dimensions=(1, ks[0], ks[1], 1),
         window_strides=(1, strides[0], strides[1], 1),
         padding=padding)
@@ -331,14 +333,47 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32,
         fused.append(node)
     nodes = fused
 
+    # consumer map of the fused graph, for the static-int8 requantization
+    # chain: a tensor whose ONLY consumer is an int8 conv (possibly through
+    # MaxPools — quantization is monotonic, so it commutes with max) is
+    # requantized to int8 at its PRODUCER with that conv's calibrated
+    # activation scale. XLA fuses the quantize into the producer's epilogue,
+    # so the inter-layer activation materializes in HBM as int8 — the
+    # bandwidth win int8 exists for (the trunk is HBM-bound,
+    # docs/EFFICIENCY.md). Numerically identical to quantizing at the conv
+    # input (same scale, max commutes with the monotone quantizer).
+    consumer_nodes: Dict[str, List[OnnxNode]] = {}
+    for node in nodes:
+        for name in node.inputs:
+            consumer_nodes.setdefault(name, []).append(node)
+
     def apply(params: Dict[str, jax.Array], x: jax.Array):
         env: Dict[str, jax.Array] = {graph.input_names[0]: x}
+        qenv: Dict[str, jax.Array] = {}   # int8 epilogue-requantized tensors
         conv_absmax: Dict[str, jax.Array] = {}
 
         def get(name: str) -> jax.Array:
             if name in env:
                 return env[name]
             return params[name]
+
+        def requant_key(name: str) -> Optional[str]:
+            """ascale param key if `name` flows (only) into an int8 conv with
+            a static calibrated scale, else None."""
+            if name in output_names:
+                return None
+            cs = consumer_nodes.get(name, [])
+            if len(cs) != 1:
+                return None
+            c = cs[0]
+            if c.op == "Conv" and c.inputs[0] == name:
+                k = f"{c.inputs[1]}#ascale"
+                if k in params and params[c.inputs[1]].dtype == jnp.int8:
+                    return k
+                return None
+            if c.op == "MaxPool":
+                return requant_key(c.outputs[0])
+            return None
 
         for node in nodes:
             if node.op == "Conv":
@@ -350,8 +385,10 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32,
                 if capture_conv_inputs:
                     conv_absmax[node.inputs[1]] = jnp.max(
                         jnp.abs(xin.astype(jnp.float32)))
+                x_q = (qenv.get(node.inputs[0])
+                       if a_scale is not None else None)
                 y = _conv(xin, w, b, node, compute_dtype,
-                          w_scale, a_scale)
+                          w_scale, a_scale, x_q=x_q)
             elif node.op == "Relu":
                 y = jnp.maximum(get(node.inputs[0]), 0)
             elif node.op == "Clip":
@@ -359,7 +396,18 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32,
                 hi = node.attr("max", jnp.inf)
                 y = jnp.clip(get(node.inputs[0]), lo, hi)
             elif node.op == "MaxPool":
-                y = _maxpool(get(node.inputs[0]), node)
+                if node.inputs[0] in qenv:
+                    # pool the int8 tensor directly; the fp32 view (env) is
+                    # dead unless an unexpected consumer appears, and XLA
+                    # DCEs it in that case... it cannot: requant_key only
+                    # fires on single-consumer tensors, so env's fp32 copy
+                    # of this pool is dead by construction (XLA removes it).
+                    yq = _maxpool(qenv[node.inputs[0]], node)
+                    qenv[node.outputs[0]] = yq
+                    k = requant_key(node.outputs[0])
+                    y = yq.astype(jnp.float32) * params[k]
+                else:
+                    y = _maxpool(get(node.inputs[0]), node)
             elif node.op == "BatchNormalization":
                 xin = get(node.inputs[0])
                 gamma = params[node.inputs[1]]
@@ -402,6 +450,12 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32,
             else:
                 raise NotImplementedError(f"ONNX op {node.op} not supported")
             env[node.outputs[0]] = y
+            if node.op != "MaxPool":
+                k = requant_key(node.outputs[0])
+                if k is not None:
+                    from spsvo_tpu.models.quantize import quantize_activation
+                    qenv[node.outputs[0]] = quantize_activation(
+                        y.astype(jnp.float32), params[k])
 
         outputs = {name: env[name].astype(jnp.float32)
                    for name in output_names}

@@ -15,7 +15,13 @@ Two activation-scale modes:
     which at this trunk size costs more than the int8 MXU saves;
   * static (calibrated): per-conv scales measured once over calibration
     images (`calibrate_activation_scales`) and stored as `<w>#ascale`
-    params — the dynamic passes disappear and int8 becomes pure win.
+    params — the dynamic passes disappear, AND the interpreter
+    (onnx_import.make_apply) pushes each conv-input quantization up into the
+    producing layer's epilogue, so inter-layer activations materialize in
+    HBM as int8 (1 byte/element) instead of fp32 — the trunk is
+    HBM-bandwidth-bound (docs/EFFICIENCY.md), so this is where int8's win
+    actually comes from. MaxPool runs on the int8 tensors directly
+    (quantization is monotonic, so it commutes with max).
 
 Accuracy is validated in tests against the fp32 trunk (descriptor cosine
 similarity / keypoint overlap).
@@ -72,19 +78,29 @@ def calibrate_activation_scales(graph, params_fp32: Dict[str, jax.Array],
             for k, v in best.items()}
 
 
+def quantize_activation(x: jax.Array, a_scale: jax.Array) -> jax.Array:
+    """Symmetric per-tensor activation quantization to int8."""
+    return jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+
+
 def int8_conv(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
               strides, padding, dilations, groups: int,
-              a_scale: jax.Array | None = None) -> jax.Array:
+              a_scale: jax.Array | None = None,
+              x_q: jax.Array | None = None) -> jax.Array:
     """Int8 convolution with dynamic or static (calibrated) activation scale.
 
     x: (B, H, W, C) fp32; w_q: (kh, kw, Cin/g, Cout) int8;
     w_scale: (Cout,) fp32; a_scale: scalar fp32 or None (dynamic absmax).
+    `x_q` (int8, already quantized with `a_scale` by the PRODUCING layer's
+    epilogue — onnx_import's static-int8 requantization chain) skips the
+    in-conv quantize so the inter-layer activation materializes as int8.
     Returns fp32.
     """
-    if a_scale is None:
-        a_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12)
-        a_scale = a_absmax / 127.0
-    x_q = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+    if x_q is None:
+        if a_scale is None:
+            a_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-12)
+            a_scale = a_absmax / 127.0
+        x_q = quantize_activation(x, a_scale)
     y = jax.lax.conv_general_dilated(
         x_q, w_q, window_strides=strides, padding=padding,
         rhs_dilation=dilations,
