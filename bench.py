@@ -9,14 +9,23 @@ on an RTX 2070 laptop, ~66.3 FPS (BASELINE.md; src/odml_visual_odometry/
 README.md:46). North-star target: 500 FPS on one v5e chip.
 
 Measured quantity (headline): the ONLINE-semantics hybrid mode
-(`parallel.build_online_hybrid` with the fused Pallas solver) over 128 real
-frames at 120x392 in fp32 — the full per-frame pipeline (CNN forward,
-detector postprocess, descriptor sampling, 3x matching, chain filter,
-triangulation x2, 256-hypothesis RANSAC + polish, LM refinement, exact
-sequential gate/prior semantics, pose chaining). This is simultaneously the
-most reference-faithful mode and the fastest fp32 mode (BENCH_NOTES.md).
-Aux numbers on stderr: batch throughput mode, reference-parity config,
-strict per-frame scan, bf16/int8 trunk variants.
+(`parallel.build_online_hybrid` with the fused Pallas solver) over 128
+REAL-GEOMETRY stereo frames at 120x392 in fp32 — the full per-frame pipeline
+(CNN forward, detector postprocess, descriptor sampling, 3x matching, chain
+filter, triangulation x2, 256-hypothesis RANSAC + polish, LM refinement,
+exact sequential gate/prior semantics, pose chaining). This is
+simultaneously the most reference-faithful mode and the fastest fp32 mode
+(BENCH_NOTES.md).
+
+Workload (VERDICT r2 weak #1): a 128-frame curved drive through
+`eval.synthetic.synthetic_corridor` — ray-cast TRUE stereo with depth
+diversity (near high-disparity ground + far low-disparity walls, the
+KITTI-like regime) and known ground truth, so the quoted behavioral stats
+(inlier counts, prior-winner rate, final drift) are measured on real
+geometry, not a constant-disparity plane. Renders are cached under
+~/.cache/spsvo_tpu. Aux numbers on stderr: the legacy sample-image
+(np.roll disparity) row for continuity, batch throughput mode,
+reference-parity config, strict per-frame scan, bf16/int8 trunk variants.
 """
 
 from __future__ import annotations
@@ -38,6 +47,53 @@ def log(*a):
 
 
 def _load_frames(cfg):
+    """Headline workload: 128-frame real-geometry corridor drive.
+
+    Ray-cast true stereo (synthetic_corridor: ground plane + walls, depth
+    diversity) on a gently curving trajectory, preprocessed to the config
+    resolution. Ground-truth poses returned for the drift aux stat. Renders
+    cached on disk — ray casting 128 KITTI-res stereo frames costs ~2 min
+    once, ~1 s thereafter."""
+    from spsvo_tpu.eval.synthetic import synthetic_corridor
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
+
+    cache_dir = os.path.expanduser("~/.cache/spsvo_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(
+        cache_dir,
+        f"bench_corridor_v1_{N_FRAMES}_{cfg.image_height}x{cfg.image_width}"
+        ".npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["frames"], z["P_l"], z["P_r"], z["gt"]
+
+    rng = np.random.default_rng(42)
+    # KITTI-scale motion: 0.35 m/frame forward (~12.6 km/h at 10 Hz) with a
+    # slow constant yaw — curvature keeps the prior non-trivially wrong
+    frames_raw, gt_poses, P_l, P_r = synthetic_corridor(
+        rng, n_frames=N_FRAMES, h=375, w=1242, forward_per_frame=0.35,
+        yaw_rate=0.004)
+    h0, w0 = frames_raw[0][0].shape
+    P_l2 = update_projection_matrix_np(P_l, h0, w0, cfg.image_height,
+                                       cfg.image_width)
+    P_r2 = update_projection_matrix_np(P_r, h0, w0, cfg.image_height,
+                                       cfg.image_width)
+    frames = np.stack([
+        np.stack([preprocess_image_np(il, cfg.image_height, cfg.image_width),
+                  preprocess_image_np(ir, cfg.image_height, cfg.image_width)])
+        for il, ir in frames_raw]).astype(np.float32)
+    gt = np.stack(gt_poses).astype(np.float32)
+    np.savez_compressed(cache, frames=frames,
+                        P_l=P_l2.astype(np.float32),
+                        P_r=P_r2.astype(np.float32), gt=gt)
+    return frames, P_l2.astype(np.float32), P_r2.astype(np.float32), gt
+
+
+def _load_sample_frames(cfg):
+    """Legacy aux workload: the reference's 22 bundled KITTI frames looped to
+    N_FRAMES with constant-disparity np.roll stereo (degenerate geometry —
+    kept only for throughput continuity with earlier rounds)."""
     import cv2
 
     from spsvo_tpu.ops.image import (preprocess_image_np,
@@ -124,7 +180,7 @@ def main():
     # fp32 online, identical trajectories to the XLA path).
     cfg_seq = dataclasses.replace(cfg, ransac_chunk=0, lm_unroll=6,
                                   solve_slots=128, use_pallas_solver=True)
-    frames, P_l2, P_r2 = _load_frames(cfg)
+    frames, P_l2, P_r2, gt_poses = _load_frames(cfg)
     mesh = make_mesh()
     key = jax.random.PRNGKey(0)
     images = jnp.asarray(frames)
@@ -138,15 +194,40 @@ def main():
     apply_fn, params = zoo.load_model(cfg.model_name_prefix)
     t0 = time.perf_counter()
     hyb_fn = build_online_hybrid(apply_fn, cfg_seq)
-    fps, diags = _measure_pipelined(
-        hyb_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES)
+    args_h = (params, images, P_l_j, P_r_j, key)
+    fps, diags = _measure_pipelined(hyb_fn, args_h, N_FRAMES)
     log(f"ONLINE-hybrid fp32 (sustained, headline): {fps:.1f} FPS "
         f"(compile+reps {time.perf_counter()-t0:.0f}s, "
         f"mean inliers {np.asarray(diags['num_inliers']).mean():.0f})")
-    fps_1call, _ = _measure(hyb_fn, (params, images, P_l_j, P_r_j, key),
-                            N_FRAMES, reps=3)
+    # behavioral stats on the real-geometry workload (VERDICT r2 weak #1)
+    try:
+        from spsvo_tpu.eval.synthetic import score_trajectory
+        world = np.asarray(hyb_fn(*args_h)[0])
+        acc = score_trajectory([world[i] for i in range(len(world))],
+                               [gt_poses[i] for i in range(len(gt_poses))])
+        pw = diags.get("prior_winner")
+        pw_pct = (100.0 * np.asarray(pw).mean()) if pw is not None else None
+        log(f"corridor accuracy: final drift {acc['final_drift_percent']:.2f}%"
+            f" over {acc['path_length_m']:.1f} m, ATE {acc['ate_m']:.3f} m"
+            + (f"; prior beats sampled hypotheses on {pw_pct:.0f}% of frames"
+               if pw_pct is not None else ""))
+    except Exception as e:
+        log(f"corridor accuracy aux failed: {e}")
+    fps_1call, _ = _measure(hyb_fn, args_h, N_FRAMES, reps=3)
     log(f"online-hybrid fp32 (single call incl. tunnel RTT): "
         f"{fps_1call:.1f} FPS")
+
+    # ---- aux: legacy sample-image workload (constant-disparity stereo) ----
+    try:
+        sf, sP_l, sP_r = _load_sample_frames(cfg)
+        fps_s, diags_s = _measure_pipelined(
+            hyb_fn, (params, jnp.asarray(sf), jnp.asarray(sP_l, jnp.float32),
+                     jnp.asarray(sP_r, jnp.float32), key), N_FRAMES)
+        log(f"online-hybrid fp32 on legacy sample-image workload: "
+            f"{fps_s:.1f} FPS "
+            f"(mean inliers {np.asarray(diags_s['num_inliers']).mean():.0f})")
+    except Exception as e:
+        log(f"sample-image aux run failed: {e}")
 
     # ---- aux: batch throughput mode (relaxed prior, gates post-scan) ------
     try:

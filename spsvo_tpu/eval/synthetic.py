@@ -68,7 +68,8 @@ def synthetic_drive(rng: np.random.Generator, n_frames: int = 10,
                     h: int = 375, w: int = 1242, depth: float = 8.0,
                     forward_per_frame: float = 0.35,
                     yaw_rate: float = 0.0,
-                    twists: Optional[Sequence[np.ndarray]] = None,
+                    twists: Optional[Sequence[Tuple[np.ndarray,
+                                                    np.ndarray]]] = None,
                     P_l: Optional[np.ndarray] = None,
                     baseline_fx: float = DEFAULT_BASELINE_FX
                     ) -> Tuple[List[Tuple[np.ndarray, np.ndarray]],
@@ -142,11 +143,13 @@ def synthetic_corridor(rng: np.random.Generator, n_frames: int = 10,
                        h: int = 375, w: int = 1242,
                        forward_per_frame: float = 0.35,
                        yaw_rate: float = 0.0,
-                       twists: Optional[Sequence[np.ndarray]] = None,
+                       twists: Optional[Sequence[Tuple[np.ndarray,
+                                                       np.ndarray]]] = None,
                        half_width: float = 6.0, cam_height: float = 1.65,
                        max_range: float = 80.0,
                        P_l: Optional[np.ndarray] = None,
-                       baseline_fx: float = DEFAULT_BASELINE_FX
+                       baseline_fx: float = DEFAULT_BASELINE_FX,
+                       tex_scale: float = 96.0, blob_sigma: float = 6.0
                        ) -> Tuple[List[Tuple[np.ndarray, np.ndarray]],
                                   List[np.ndarray], np.ndarray, np.ndarray]:
     """Ray-cast stereo sequence through a textured corridor.
@@ -159,15 +162,22 @@ def synthetic_corridor(rng: np.random.Generator, n_frames: int = 10,
     corridor is unbounded forward (no envelope limit on drive length).
     Pixels whose rays hit nothing within `max_range` (the "sky") render
     flat grey. Exact per-pixel ray casting; same return contract as
-    `synthetic_drive`. Camera convention: x right, y DOWN, z forward.
+    `synthetic_drive`, and the same `twists` contract: a list of
+    (rotvec(3), translation(3)) pairs applied per frame, overriding the
+    built-in yaw/forward motion. Camera convention: x right, y DOWN,
+    z forward.
     """
     P_l = DEFAULT_P_L.copy() if P_l is None else np.asarray(P_l, np.float64)
     P_r = P_l.copy()
     P_r[0, 3] = baseline_fx
 
-    texs = [blob_texture(rng, 768, 768).astype(np.float32)
+    # tex_scale: texture pixels per metre; blob_sigma: blob size in texture
+    # pixels. Blob size in METRES is ~2*blob_sigma/tex_scale — tune both to
+    # match the keypoint density of real imagery at the evaluation
+    # resolution (the defaults suit full-res; low resolutions need coarser
+    # blobs, e.g. tex_scale=32/blob_sigma=8 for 120x392 — bench.py).
+    texs = [blob_texture(rng, 768, 768, blob_sigma).astype(np.float32)
             for _ in range(3)]  # ground, left wall, right wall
-    tex_scale = 96.0  # texture pixels per metre
 
     K = P_l[:, :3]
     Kinv = np.linalg.inv(K)
