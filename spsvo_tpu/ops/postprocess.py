@@ -113,7 +113,7 @@ def nms(scores: jax.Array, radius: int, iterations: int = 2) -> jax.Array:
 
 
 def select_topk(scores: jax.Array, k: int, conf_thresh: float,
-                border: int, nms_radius: int = 0
+                border: int, post_nms_radius: int = 0
                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Masked top-K keypoint selection.
 
@@ -121,8 +121,10 @@ def select_topk(scores: jax.Array, k: int, conf_thresh: float,
     removal (keep row in [border, H-border), col likewise, reference
     :239-242), then takes the K best by score.
 
-    `nms_radius > 0` declares that `scores` already went through NMS with
-    that suppression radius, which guarantees at most one survivor per
+    `post_nms_radius > 0` DECLARES that `scores` have ALREADY been
+    NMS-suppressed with that radius (it does not apply NMS itself — passing
+    raw scores with post_nms_radius >= 3 would silently cap detections at
+    one per 4x4 block): the guarantee is at most one survivor per
     (radius+1)-sized block (surviving pairs are > radius apart in Chebyshev
     distance). The top-K then runs on a 4x4 block-max reduction — a 16x
     smaller sort with identical results up to EXACT-score ties: inside a
@@ -144,7 +146,7 @@ def select_topk(scores: jax.Array, k: int, conf_thresh: float,
     masked = jnp.where(masked > conf_thresh, masked, 0.0)
 
     blk = 4
-    if nms_radius >= blk - 1 and h % blk == 0 and w % blk == 0:
+    if post_nms_radius >= blk - 1 and h % blk == 0 and w % blk == 0:
         # block-max reduction: value + first flat index per 4x4 block
         hb, wb = h // blk, w // blk
         tiles = masked.reshape(b, hb, blk, wb, blk)
@@ -273,7 +275,7 @@ def extract_keypoints(det: jax.Array, desc: jax.Array, *, k: int,
     heat = jnp.where(heat_raw > conf_thresh, heat_raw, 0.0)
     suppressed = nms(heat, nms_radius, nms_iterations)
     xy, score, valid = select_topk(suppressed, k, conf_thresh, border,
-                                   nms_radius=nms_radius)
+                                   post_nms_radius=nms_radius)
     if subpixel:
         # refine on the PRE-threshold heatmap: sub-threshold neighbours must
         # contribute their true scores or the parabola vertex is biased

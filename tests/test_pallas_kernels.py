@@ -201,10 +201,11 @@ def test_hybrid_pallas_solver_flag_falls_back_off_tpu(rng):
     assert np.abs(np.asarray(w)[:, :3, 3] - gt).max() < 0.3
 
 
-@pytest.mark.parametrize("degree,unroll", [(1, 4), (2, 6), (0, 4)])
+@pytest.mark.parametrize("degree,unroll", [(1, 4), (2, 6), (0, 4), (3, 6)])
 def test_fused_solver_degree_variants(rng, degree, unroll):
     """Kernel parity across the refinement-degree schedule and LM unroll
-    counts (degree 0 = no LM refinement at all)."""
+    counts (degree 0 = no LM refinement at all; degree 3 is the only
+    schedule point with exactly one inverse factor)."""
     import os
     import sys
     sys.path.insert(0, os.path.dirname(__file__))
@@ -234,3 +235,42 @@ def test_fused_solver_degree_variants(rng, degree, unroll):
                                atol=1e-3)
     assert abs(int(got.num_inliers) - int(ref.num_inliers)) <= 3
     assert bool(got.lm_improved) == bool(ref.lm_improved)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Mosaic TPU lowering parity needs a real TPU "
+                           "(the CPU suite pins interpret-mode parity only)")
+def test_fused_solver_tpu_lowering_parity(rng):
+    """Opt-in (real-TPU) parity: the MOSAIC-lowered fused_solve must match
+    solve_prepared at the same tolerances the interpret-mode tests pin —
+    catching TPU-lowering numerics regressions that interpret mode cannot
+    (ADVICE r2). Run via: python -m pytest tests/test_pallas_kernels.py
+    -k tpu_lowering --no-header -p no:cacheprovider (outside the CPU-forcing
+    conftest env, e.g. SPSVO_TEST_TPU=1)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_geometry_solvers import P_L, P_R, _prepared_from_frame, _vo_frame
+
+    from spsvo_tpu.config import VOConfig
+    from spsvo_tpu.ops import solver, solver_pallas
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", ransac_iterations=32,
+                   ransac_chunk=0, lm_unroll=6, solve_slots=0)
+    data, R, t = _vo_frame(rng, n=150, outlier_frac=0.1, k_pad=256)
+    prep = _prepared_from_frame(data)
+    P_l = jnp.asarray(P_L, jnp.float32)
+    P_r = jnp.asarray(P_R, jnp.float32)
+    key = jax.random.PRNGKey(11)
+    q_id = jnp.array([0, 0, 0, 1.0], jnp.float32)
+    t_id = jnp.zeros(3, jnp.float32)
+    hyp = solver_pallas.precompute_hypotheses(key, prep, cfg)
+    ref = solver.solve_prepared(key, prep, P_l, P_r, q_id, t_id,
+                                jnp.int32(5), cfg)
+    got = jax.jit(lambda *a: solver_pallas.fused_solve(*a, cfg=cfg))(
+        hyp, prep, P_l, P_r, q_id, t_id, jnp.int32(5))
+    np.testing.assert_allclose(np.asarray(got.q), np.asarray(ref.q),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               atol=1e-3)
+    assert abs(int(got.num_inliers) - int(ref.num_inliers)) <= 3

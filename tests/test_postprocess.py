@@ -191,8 +191,8 @@ def test_select_topk_block_path_matches_plain(rng):
         raw = rng.random((2, h, w)).astype(np.float32) ** 6
         heat = jnp.where(jnp.asarray(raw) > 0.015, jnp.asarray(raw), 0.0)
         sup = pp.nms(heat, radius=4, iterations=2)
-        xy_p, sc_p, v_p = pp.select_topk(sup, 100, 0.015, 4, nms_radius=0)
-        xy_b, sc_b, v_b = pp.select_topk(sup, 100, 0.015, 4, nms_radius=4)
+        xy_p, sc_p, v_p = pp.select_topk(sup, 100, 0.015, 4, post_nms_radius=0)
+        xy_b, sc_b, v_b = pp.select_topk(sup, 100, 0.015, 4, post_nms_radius=4)
         np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_b))
         m = np.asarray(v_p)
         np.testing.assert_allclose(np.asarray(sc_p)[m], np.asarray(sc_b)[m])
