@@ -62,18 +62,23 @@ def _load_frames(cfg):
     os.makedirs(cache_dir, exist_ok=True)
     cache = os.path.join(
         cache_dir,
-        f"bench_corridor_v1_{N_FRAMES}_{cfg.image_height}x{cfg.image_width}"
+        f"bench_corridor_v2_{N_FRAMES}_{cfg.image_height}x{cfg.image_width}"
         ".npz")
     if os.path.exists(cache):
         z = np.load(cache)
         return z["frames"], z["P_l"], z["P_r"], z["gt"]
 
     rng = np.random.default_rng(42)
-    # KITTI-scale motion: 0.35 m/frame forward (~12.6 km/h at 10 Hz) with a
-    # slow constant yaw — curvature keeps the prior non-trivially wrong
+    # KITTI-scale motion: 0.35 m/frame forward (~12.6 km/h at 10 Hz) on an
+    # S-curve (yaw +0.003 then -0.003 rad/frame) — curvature keeps the
+    # constant-velocity prior non-trivially wrong, while the bounded ~2 m
+    # lateral deviation keeps the camera INSIDE the axis-aligned corridor
+    # (a constant yaw drives through the half_width=6 m wall around frame
+    # 90: keypoints collapse and PnP fails on the out-of-scene frames).
+    twists = [(np.array([0.0, (0.003 if i < N_FRAMES // 2 else -0.003), 0.0]),
+               np.array([0.0, 0.0, 0.35])) for i in range(N_FRAMES - 1)]
     frames_raw, gt_poses, P_l, P_r = synthetic_corridor(
-        rng, n_frames=N_FRAMES, h=375, w=1242, forward_per_frame=0.35,
-        yaw_rate=0.004)
+        rng, n_frames=N_FRAMES, h=375, w=1242, twists=twists)
     h0, w0 = frames_raw[0][0].shape
     P_l2 = update_projection_matrix_np(P_l, h0, w0, cfg.image_height,
                                        cfg.image_width)

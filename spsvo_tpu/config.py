@@ -153,8 +153,9 @@ class VOConfig:
     border_remove: int = 4            # border margin for keypoints (px)
     max_keypoints: int = 1000         # K: fixed keypoint capacity per image
     nms_iterations: int = 2           # iterated max-pool NMS rounds
-    subpixel_refine: bool = False     # parabolic sub-pixel keypoint
-    # localisation (beyond-reference option; off = integer-pixel parity)
+    subpixel_refine: object = False   # sub-pixel keypoint localisation:
+    # False = integer-pixel parity; True/"axis" = per-axis parabolas;
+    # "quad" = coupled 2D quadratic fit (beyond-reference option)
     knn_threshold: float = 0.8        # Lowe ratio
 
     # --- matching capacity ---------------------------------------------------

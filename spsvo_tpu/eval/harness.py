@@ -81,6 +81,36 @@ def _write_pose_file(poses, results_dir, description, kitti_eval_id) -> None:
     kitti.write_kitti_poses(os.path.join(d, name), poses)
 
 
+def _write_frame_viz(viz_dir: str, i: int, img_l, img_r, out, cfg,
+                     prev_xy: Optional[np.ndarray]) -> None:
+    """Per-frame match/inlier renderings — the reference's live image topics
+    (visual_odometry_node.cpp:200-208, 237-244) as PNG files."""
+    import cv2
+
+    from spsvo_tpu import viz
+    from spsvo_tpu.ops.image import preprocess_image_np
+
+    os.makedirs(viz_dir, exist_ok=True)
+    if cfg.image_height > 0 and cfg.image_width > 0:
+        il = preprocess_image_np(img_l, cfg.image_height, cfg.image_width,
+                                 normalize=False).astype(np.uint8)
+        ir = preprocess_image_np(img_r, cfg.image_height, cfg.image_width,
+                                 normalize=False).astype(np.uint8)
+    else:
+        il, ir = np.asarray(img_l), np.asarray(img_r)
+    xy_l = np.asarray(out.keypoints_left.xy)
+    xy_r = np.asarray(out.keypoints_right.xy)
+    m = viz.draw_matches(il, xy_l, ir, xy_r, np.asarray(out.stereo_map))
+    cv2.imwrite(os.path.join(viz_dir, f"matches_{i:06d}.png"), m)
+    if prev_xy is not None:
+        inl = viz.draw_inliers(il, xy_l, prev_xy,
+                               np.asarray(out.stereo_map),
+                               np.asarray(out.interframe_map),
+                               np.asarray(out.chain_valid),
+                               np.asarray(out.inliers))
+        cv2.imwrite(os.path.join(viz_dir, f"inliers_{i:06d}.png"), inl)
+
+
 def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
                  P_l: np.ndarray, P_r: np.ndarray,
                  results_dir: Optional[str] = None,
@@ -90,7 +120,9 @@ def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
                  machine_name: str = "tpu",
                  sequence_tag: str = "seq",
                  verbose: bool = False,
-                 instrument_stages: bool = False) -> SequenceResult:
+                 instrument_stages: bool = False,
+                 viz_dir: Optional[str] = None,
+                 viz_every: int = 1) -> SequenceResult:
     """Run the online pipeline over a frame stream; optionally persist the
     reference's artefacts (pose file + latency CSV).
 
@@ -105,13 +137,19 @@ def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
     whenever diagnostics are fetched (`verbose`/`instrument_stages` — the
     reference's <10-matches and starvation warnings,
     feature_detection_base.cpp:453-457, :496-499). Violation counts land in
-    `SequenceResult.guards_summary`."""
+    `SequenceResult.guards_summary`.
+
+    `viz_dir` streams the reference's per-frame match/inlier image topics
+    (visual_odometry_node.cpp:200-208, 237-244) as PNGs, every `viz_every`
+    frames (implies diagnostics fetch)."""
     from spsvo_tpu.utils.logging import RuntimeGuards
 
     vo.reset()
     guards = RuntimeGuards(latency_budget_ms=vo.cfg.latency_warn_ms)
+    want_diag = verbose or viz_dir is not None
     latencies: List[Dict[str, float]] = []
     diags: List[Dict[str, float]] = []
+    prev_xy: Optional[np.ndarray] = None
     for i, (il, ir) in enumerate(frames):
         t0 = time.perf_counter()
         if instrument_stages:
@@ -122,7 +160,8 @@ def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
                 diags.append({k: np.asarray(v).item() for k, v in
                               info["output"].diagnostics.items()})
         else:
-            T, info = vo.process(il, ir, P_l, P_r, want_diagnostics=verbose)
+            T, info = vo.process(il, ir, P_l, P_r,
+                                 want_diagnostics=want_diag)
             total = (time.perf_counter() - t0) * 1000.0
             # fused single program: stage split not observable per frame
             latencies.append({"detect": 0.0, "match": 0.0, "solve": 0.0,
@@ -134,6 +173,11 @@ def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
         if diags:
             d = diags[-1]
             _feed_guards(guards, d, first_frame=(i == 0))
+        if viz_dir is not None and "output" in info:
+            out = info["output"]
+            if i % viz_every == 0:
+                _write_frame_viz(viz_dir, i, il, ir, out, vo.cfg, prev_xy)
+            prev_xy = np.asarray(out.keypoints_left.xy)
 
     poses = list(vo.trajectory)
     if results_dir is not None:

@@ -149,7 +149,8 @@ def synthetic_corridor(rng: np.random.Generator, n_frames: int = 10,
                        max_range: float = 80.0,
                        P_l: Optional[np.ndarray] = None,
                        baseline_fx: float = DEFAULT_BASELINE_FX,
-                       tex_scale: float = 96.0, blob_sigma: float = 6.0
+                       tex_scale: float = 48.0, blob_sigma: float = 6.0,
+                       tex_px: int = 4096
                        ) -> Tuple[List[Tuple[np.ndarray, np.ndarray]],
                                   List[np.ndarray], np.ndarray, np.ndarray]:
     """Ray-cast stereo sequence through a textured corridor.
@@ -172,11 +173,14 @@ def synthetic_corridor(rng: np.random.Generator, n_frames: int = 10,
     P_r[0, 3] = baseline_fx
 
     # tex_scale: texture pixels per metre; blob_sigma: blob size in texture
-    # pixels. Blob size in METRES is ~2*blob_sigma/tex_scale — tune both to
-    # match the keypoint density of real imagery at the evaluation
-    # resolution (the defaults suit full-res; low resolutions need coarser
-    # blobs, e.g. tex_scale=32/blob_sigma=8 for 120x392 — bench.py).
-    texs = [blob_texture(rng, 768, 768, blob_sigma).astype(np.float32)
+    # pixels (blob size in METRES is ~2*blob_sigma/tex_scale). The texture
+    # wraps every tex_px/tex_scale metres — the defaults give an 85 m
+    # period >= max_range, so the visible scene never repeats. Shorter
+    # periods (the old 8 m default) create REAL false stereo matches: the
+    # ground pattern repeats laterally at the same epipolar row with the
+    # wrong disparity, poisoning triangulation on ~30% of frames — an
+    # artifact real imagery does not have.
+    texs = [blob_texture(rng, tex_px, tex_px, blob_sigma).astype(np.float32)
             for _ in range(3)]  # ground, left wall, right wall
 
     K = P_l[:, :3]

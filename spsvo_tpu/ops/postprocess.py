@@ -213,6 +213,55 @@ def refine_subpixel(heat: jax.Array, xy: jax.Array, valid: jax.Array
     return jnp.where(valid[..., None], refined, xy)
 
 
+def refine_subpixel_quad(heat: jax.Array, xy: jax.Array, valid: jax.Array
+                         ) -> jax.Array:
+    """Coupled 2D quadratic subpixel refinement (3x3 least-squares fit).
+
+    Fits f(x, y) = a + bx + cy + dx^2 + exy + fy^2 to the 3x3 neighbourhood
+    (Savitzky-Golay closed form on the fixed stencil) and shifts to the
+    vertex solve [[2d, e], [e, 2f]] s = -[b, c]. Unlike the separable
+    per-axis parabolas (`refine_subpixel`), the cross term e captures
+    diagonal peak anisotropy — the candidate fix for the per-axis fit's
+    long-horizon drift bias (VERDICT r2 #8). Falls back to no shift where
+    the Hessian is not negative definite (saddle/ridge), and clamps to
+    +-0.5 per axis. Same contract as `refine_subpixel`.
+    """
+    b, h, w = heat.shape
+    flat = heat.reshape(b, h * w)
+    x0 = xy[..., 0].astype(jnp.int32)
+    y0 = xy[..., 1].astype(jnp.int32)
+
+    def at(yy, xx):
+        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+        return jnp.where(inb, jnp.take_along_axis(flat, idx, axis=1), 0.0)
+
+    # 3x3 samples f[dy][dx], dy/dx in {-1, 0, +1}
+    f = [[at(y0 + dy_, x0 + dx_) for dx_ in (-1, 0, 1)]
+         for dy_ in (-1, 0, 1)]
+    s_all = sum(f[i][j] for i in range(3) for j in range(3))
+    sx = sum(f[i][j] * (j - 1) for i in range(3) for j in range(3))
+    sy = sum(f[i][j] * (i - 1) for i in range(3) for j in range(3))
+    sxx = sum(f[i][j] * (j - 1) ** 2 for i in range(3) for j in range(3))
+    syy = sum(f[i][j] * (i - 1) ** 2 for i in range(3) for j in range(3))
+    sxy = sum(f[i][j] * (i - 1) * (j - 1) for i in range(3) for j in range(3))
+    # Savitzky-Golay closed form on the 3x3 stencil:
+    bq = sx / 6.0
+    cq = sy / 6.0
+    dq = 0.5 * sxx - s_all / 3.0
+    fq = 0.5 * syy - s_all / 3.0
+    eq = sxy / 4.0
+    det = 4.0 * dq * fq - eq * eq
+    neg_def = (dq < 0) & (det > 1e-12)
+    safe_det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    dx = (-2.0 * fq * bq + eq * cq) / safe_det
+    dy = (-2.0 * dq * cq + eq * bq) / safe_det
+    dx = jnp.clip(jnp.where(neg_def, dx, 0.0), -0.5, 0.5)
+    dy = jnp.clip(jnp.where(neg_def, dy, 0.0), -0.5, 0.5)
+    refined = jnp.stack([xy[..., 0] + dx, xy[..., 1] + dy], axis=-1)
+    return jnp.where(valid[..., None], refined, xy)
+
+
 def sample_descriptors(desc_grid: jax.Array, xy: jax.Array,
                        image_hw: Tuple[int, int]) -> jax.Array:
     """Bilinear descriptor sampling with align_corners=True semantics.
@@ -261,12 +310,14 @@ def sample_descriptors(desc_grid: jax.Array, xy: jax.Array,
 def extract_keypoints(det: jax.Array, desc: jax.Array, *, k: int,
                       conf_thresh: float, nms_radius: int, border: int,
                       nms_iterations: int = 2,
-                      subpixel: bool = False) -> Keypoints:
+                      subpixel=False) -> Keypoints:
     """Full postprocess: raw heads -> fixed-capacity keypoints+descriptors.
 
     det:  (B, Hc, Wc, 65) logits; desc: (B, Hc, Wc, 256) L2-normalised grid.
-    `subpixel` shifts winners to their per-axis parabolic peak (beyond-
-    reference accuracy improvement; default off = integer-pixel parity).
+    `subpixel` shifts winners to their sub-pixel peak (beyond-reference
+    accuracy improvement; default off = integer-pixel parity): True/"axis"
+    = separable per-axis parabolas, "quad" = coupled 2D quadratic fit
+    (refine_subpixel_quad).
     """
     heat_raw = heatmap_from_logits(det)
     h, w = heat_raw.shape[1], heat_raw.shape[2]
@@ -280,6 +331,8 @@ def extract_keypoints(det: jax.Array, desc: jax.Array, *, k: int,
         # refine on the PRE-threshold heatmap: sub-threshold neighbours must
         # contribute their true scores or the parabola vertex is biased
         # toward the clamp for winners near conf_thresh
-        xy = refine_subpixel(heat_raw, xy, valid)
+        refine = (refine_subpixel_quad if subpixel == "quad"
+                  else refine_subpixel)
+        xy = refine(heat_raw, xy, valid)
     descs = sample_descriptors(desc, xy, (h, w))
     return Keypoints(xy=xy, score=score, valid=valid, desc=descs)

@@ -40,9 +40,13 @@ def cmd_eval(args) -> int:
     if not args.sample_images and args.kitti_root is None:
         print("need --kitti-root or --sample-images", file=sys.stderr)
         return 2
-    if args.mode != "frame" and cfg.is_classic:
-        print("--mode hybrid/batch needs the CNN front end (classic "
-              "configs run per-frame)", file=sys.stderr)
+    if cfg.is_classic and args.mode not in ("frame", "classic"):
+        print("classic configs run --mode frame or --mode classic "
+              "(host-detect-all + fused device geometry)", file=sys.stderr)
+        return 2
+    if not cfg.is_classic and args.mode == "classic":
+        print("--mode classic is for classic configs; CNN configs use "
+              "--mode hybrid/batch", file=sys.stderr)
         return 2
     # fused modes build their own device program from cfg — constructing the
     # per-frame pipeline here would load the model twice for nothing
@@ -68,7 +72,8 @@ def cmd_eval(args) -> int:
             res = harness.run_sequence(
                 vo, frames, P, P_r, results_dir=args.results_dir,
                 description=args.description, latency_dir=args.latency_dir,
-                machine_name=cfg.machine_name, sequence_tag="sample")
+                machine_name=cfg.machine_name, sequence_tag="sample",
+                viz_dir=args.viz_dir)
         print(f"{len(res.poses)} frames, {res.fps:.1f} FPS, "
               f"mean {res.mean_total_ms:.1f} ms")
         return 0
@@ -144,8 +149,11 @@ def main(argv=None) -> int:
     p.add_argument("--ground-truth", default=None,
                    help="KITTI gt pose file to score against")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--viz-dir", default=None,
+                   help="write per-frame match/inlier PNGs here (the "
+                        "reference's live image topics; frame mode only)")
     p.add_argument("--mode", default="frame",
-                   choices=("frame", "hybrid", "batch"),
+                   choices=("frame", "hybrid", "batch", "classic"),
                    help="execution mode: per-frame online API (reference "
                         "semantics, per-frame latency CSV), 'hybrid' = "
                         "whole-sequence on-device with exact online "

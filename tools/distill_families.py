@@ -50,10 +50,12 @@ def validate(prefix: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--steps", type=int, default=9000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--prefix", default=None, help="one family only")
+    ap.add_argument("--single-res", action="store_true",
+                    help="legacy single-resolution (120x392) training")
     args = ap.parse_args()
 
     docs = os.path.join(os.path.dirname(os.path.dirname(
@@ -62,11 +64,17 @@ def main() -> None:
 
     for prefix in ([args.prefix] if args.prefix else FAMILIES):
         print(f"=== distilling {prefix} ===", flush=True)
+        res = None if args.single_res else D.DEFAULT_RESOLUTIONS
         params, history = D.distill(prefix, steps=args.steps,
-                                    batch=args.batch, lr=args.lr)
+                                    batch=args.batch, lr=args.lr,
+                                    resolutions=res)
         path = zoo.save_params(prefix, params)
         report = {"prefix": prefix, "teacher": "sp_mbv1",
                   "steps": args.steps, "batch": args.batch, "lr": args.lr,
+                  "resolutions": ("120x392" if args.single_res else
+                                  [f"{h}x{w}(b{b})"
+                                   for h, w, b in D.DEFAULT_RESOLUTIONS]),
+                  "synthetic_corpus": True,
                   "weights": path, "history": history,
                   "validation": validate(prefix)}
         out = os.path.join(docs, f"distill_{prefix}.json")
