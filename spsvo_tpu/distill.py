@@ -219,7 +219,7 @@ def keypoint_agreement(student_fn, s_params, teacher_fn, t_params,
             "mean_keypoints": float(np.mean(counts))}
 
 
-DEFAULT_RESOLUTIONS = ((120, 392, 16), (240, 784, 6), (360, 1176, 3))
+DEFAULT_RESOLUTIONS = ((120, 392, 16), (240, 784, 6), (360, 1176, 2))
 
 
 def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
