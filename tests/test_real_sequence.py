@@ -76,3 +76,32 @@ def test_real_sequence_matching_corpus(sample_image_dir, h, w, min_kps,
     med = float(np.median(flows))
     assert flow_lo < med < flow_hi, flows
     assert np.mean(np.array(flows) > 0) > 0.9, flows
+
+
+@pytest.mark.slow
+def test_real_sequence_full_pipeline(sample_image_dir):
+    """The full online pipeline over the real 22-frame forward sequence
+    (np.roll stereo for the missing right camera): every real frame must
+    keep the solver healthy — PnP success, inliers well above the guard
+    thresholds — exercising NMS/descriptors/chain/RANSAC/LM on real
+    imagery end-to-end, not just the matching stage."""
+    from spsvo_tpu.pipeline import VisualOdometry
+
+    raw = _load_raw(sample_image_dir)
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]])
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    vo = VisualOdometry(VOConfig(model_name_prefix="sp_mbv1",
+                                 max_keypoints=512))
+    inliers, success = [], []
+    for img in raw:
+        T, info = vo.process(img, np.roll(img, -8, axis=1), P, P_r,
+                             want_diagnostics=True)
+        assert np.all(np.isfinite(T))
+        inliers.append(info["num_inliers"])
+        success.append(info["pnp_success"])
+    # frame 0 never solves (reference early return); all real solves must
+    # succeed with a healthy margin over the <10-matches guard
+    assert all(success[1:]), success
+    assert min(inliers[1:]) > 25, inliers
