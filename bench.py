@@ -127,6 +127,20 @@ def _load_sample_frames(cfg):
     return frames, P_l2, P_r2
 
 
+def _drift_str(fn, args, gt_poses) -> str:
+    """Accuracy column for a precision-variant aux row: final drift on the
+    real-geometry workload (the precision's cost next to its FPS win)."""
+    try:
+        from spsvo_tpu.eval.synthetic import score_trajectory
+        world = np.asarray(fn(*args)[0])
+        acc = score_trajectory([world[i] for i in range(len(world))],
+                               [gt_poses[i] for i in range(len(gt_poses))])
+        return (f"(corridor drift {acc['final_drift_percent']:.2f}%, "
+                f"ATE {acc['ate_m']:.3f} m)")
+    except Exception as e:
+        return f"(drift aux failed: {e})"
+
+
 def _measure(fn, args, n_frames, reps=3):
     out = fn(*args)
     np.asarray(out[0])  # compile+run; host fetch is the only reliable sync
@@ -293,7 +307,9 @@ def main():
             apply16, dataclasses.replace(cfg_seq, precision=Precision.BF16))
         fps_h16, _ = _measure_pipelined(
             h16, (params16, images, P_l_j, P_r_j, key), N_FRAMES)
-        log(f"online-hybrid bf16 (sustained): {fps_h16:.1f} FPS")
+        log(f"online-hybrid bf16 (sustained): {fps_h16:.1f} FPS "
+            + _drift_str(h16, (params16, images, P_l_j, P_r_j, key),
+                         gt_poses))
     except Exception as e:
         log(f"bf16 aux run failed: {e}")
 
@@ -312,7 +328,8 @@ def main():
             apply8, dataclasses.replace(cfg_seq, precision=Precision.INT8))
         fps_h8, _ = _measure_pipelined(
             h8, (params8, images, P_l_j, P_r_j, key), N_FRAMES)
-        log(f"online-hybrid int8 (sustained): {fps_h8:.1f} FPS")
+        log(f"online-hybrid int8 (sustained): {fps_h8:.1f} FPS "
+            + _drift_str(h8, (params8, images, P_l_j, P_r_j, key), gt_poses))
     except Exception as e:
         log(f"int8 aux run failed: {e}")
 
