@@ -119,3 +119,16 @@ def test_classic_fused_rejects_cnn_config():
     with pytest.raises(ValueError, match="classic"):
         run_sequence_fused(cfg, [(img, img)] * 4, np.eye(3, 4), np.eye(3, 4),
                            mode="classic")
+
+
+def test_unpack_binary_desc_matches_np_unpackbits(rng):
+    """Device-side unpack must reproduce np.unpackbits bit order (MSB
+    first) so Hamming-as-matmul sees the same bit-vectors the host-unpacked
+    path produced."""
+    import jax.numpy as jnp
+    from spsvo_tpu.frontend_classic import unpack_binary_desc
+
+    d = rng.integers(0, 256, size=(5, 7, 32), dtype=np.uint8)
+    got = np.asarray(unpack_binary_desc(jnp.asarray(d)))
+    want = np.unpackbits(d, axis=-1).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
