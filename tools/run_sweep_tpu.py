@@ -21,6 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import spsvo_tpu  # noqa: E402
+from spsvo_tpu.config import classic_sweep_configs, sweep_configs  # noqa: E402
 from spsvo_tpu.eval import harness  # noqa: E402
 from spsvo_tpu.eval.synthetic import synthetic_drive  # noqa: E402
 
@@ -36,8 +37,11 @@ def main() -> None:
     out = os.path.join(docs, "sweep_results.json")
 
     t0 = time.time()
+    # the reference's full grid: 72 NN engines + 6 classic configs
+    # (report §4.1.2); classic rows run the fused host-detect-all mode
+    cfgs = sweep_configs() + classic_sweep_configs()
     rows = harness.run_sweep(lambda: list(frames), P_l, P_r,
-                             out_json=out, gt_poses=poses,
+                             configs=cfgs, out_json=out, gt_poses=poses,
                              max_frames=n_frames)
     ok = [r for r in rows if "error" not in r]
     print(f"{len(ok)}/{len(rows)} configs ok in {time.time()-t0:.0f}s "
