@@ -171,6 +171,31 @@ def test_refine_subpixel_recovers_gaussian_peak(rng):
     np.testing.assert_array_equal(out, np.asarray(xy))
 
 
+def test_refine_subpixel_quad_recovers_anisotropic_peak(rng):
+    """The coupled 2D fit must recover the vertex of a rotated anisotropic
+    quadratic peak (a cross term the per-axis parabolas cannot model), and
+    refuse to move on a saddle (Hessian not negative definite)."""
+    h, w = 48, 64
+    cy, cx = 21.4, 30.7
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    u = (xx - cx) * np.cos(0.6) + (yy - cy) * np.sin(0.6)
+    v = -(xx - cx) * np.sin(0.6) + (yy - cy) * np.cos(0.6)
+    heat = (10.0 - (u ** 2 / 1.5 + v ** 2 / 4.0)).astype(np.float32)[None]
+    iy, ix = np.unravel_index(np.argmax(heat[0]), (h, w))
+    xy = jnp.asarray(np.array([[[ix, iy]]], np.float32))
+    valid = jnp.ones((1, 1), bool)
+    refined = np.asarray(pp.refine_subpixel_quad(jnp.asarray(heat), xy,
+                                                 valid))
+    # the quadratic fit is EXACT on a quadratic surface
+    assert abs(refined[0, 0, 0] - cx) < 1e-3, refined
+    assert abs(refined[0, 0, 1] - cy) < 1e-3, refined
+
+    saddle = (xx ** 2 - yy ** 2).astype(np.float32)[None] / (h * w)
+    out = np.asarray(pp.refine_subpixel_quad(
+        jnp.asarray(saddle), xy, valid))
+    np.testing.assert_allclose(out, np.asarray(xy), atol=1e-6)
+
+
 def test_refine_subpixel_edge_clipping(rng):
     """A keypoint on the image corner must not be dragged by clipped
     duplicate samples."""
