@@ -133,7 +133,8 @@ def _pair_solve(key, chain: solver.SolveInputs, P_l, P_r, cfg: VOConfig):
         frame_count=jnp.int32(0),  # per-pair gates disarmed; see _gate_scan
         cfg=cfg)
     diag = {"num_chain": res.num_chain, "num_inliers": res.num_inliers,
-            "pnp_success": res.pnp_success}
+            "pnp_success": res.pnp_success,
+            "chain_truncated": res.chain_truncated}
     # q/t: refined pose; q_pred/t_pred: raw PnP pose (prior-update source)
     return (res.q, res.t, res.q_pred, res.t_pred, res.pnp_success), diag
 
@@ -333,7 +334,8 @@ def build_online_hybrid(apply_fn, cfg: VOConfig, mesh: Optional[Mesh] = None,
                     "num_inliers": res.num_inliers,
                     "pnp_success": res.pnp_success,
                     "accel_anomaly": res.accel_anomaly,
-                    "n_ransac_hypotheses": res.n_ransac_hypotheses}
+                    "n_ransac_hypotheses": res.n_ransac_hypotheses,
+                    "chain_truncated": res.chain_truncated}
 
         if pallas_solver:
             # phase 2.6 (parallel): prior-independent hypothesis batch;

@@ -96,7 +96,29 @@ def test_run_sequence_guards_quiet_when_healthy():
     vo.process = proc
     res = harness.run_sequence(vo, _frames(4), P, P, verbose=True)
     assert res.guards_summary == {"latency": 0, "matches": 0,
-                                  "descriptors": 0}
+                                  "descriptors": 0, "chain_capacity": 0}
+
+
+def test_run_sequence_guards_flag_chain_truncation(capsys):
+    """`solve_slots` dropping valid chain matches must be audible: the
+    chain_truncated diagnostic trips the chain-capacity guard and the count
+    lands in guards_summary (VERDICT r2 weak #7 — previously the flag was
+    surfaced but nothing warned)."""
+    class _RichVO(_StubVO):
+        def process(self, il, ir, P_l, P_r, want_diagnostics=False):
+            T, info = super().process(il, ir, P_l, P_r, want_diagnostics)
+            if want_diagnostics:
+                info.update(num_keypoints_left=400, num_keypoints_right=400,
+                            num_stereo_matches=300,
+                            num_interframe_matches=280,
+                            num_chain=128, chain_truncated=True)
+            return T, info
+
+    vo = _RichVO()
+    P = np.eye(3, 4)
+    res = harness.run_sequence(vo, _frames(4), P, P, verbose=True)
+    assert res.guards_summary["chain_capacity"] == 4
+    assert res.guards_summary["matches"] == 0
 
 
 def test_score_against_ground_truth(tmp_path):
