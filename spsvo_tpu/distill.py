@@ -256,6 +256,15 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
     val_frames = all_frames[-holdout:] if holdout else all_frames[-2:]
     if use_synthetic:
         synth = synthetic_training_frames(seed=seed)
+        if synth.shape[1:] != train_pool.shape[1:]:
+            # caller-provided frames at a non-KITTI resolution (tests, small
+            # corpora): bring the synthetic renders to the pool's shape so
+            # the crop-based augmenter samples one homogeneous stack
+            import cv2
+            ph, pw = train_pool.shape[1:3]
+            synth = np.stack([
+                cv2.resize(f, (pw, ph), interpolation=cv2.INTER_AREA)
+                for f in synth]).astype(train_pool.dtype)
         train_pool = np.concatenate([train_pool, synth])
     train_frames = jnp.asarray(train_pool)
 
