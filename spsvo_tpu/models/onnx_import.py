@@ -285,7 +285,8 @@ def _maxpool(x, node: OnnxNode):
 
 
 def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32,
-               capture_conv_inputs: bool = False):
+               capture_conv_inputs: bool = False,
+               capture_quantile: Optional[float] = None):
     """Build `apply(params, x_nhwc) -> dict[name, array]` from the graph.
 
     `x_nhwc` is (B, H, W, C) float32 in [0, 1]. Outputs are NHWC as well; the
@@ -296,6 +297,9 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32,
     `capture_conv_inputs=True` makes apply return
     `(outputs, {conv_weight_name: absmax_of_its_input})` — the hook int8
     static calibration uses (quantize.calibrate_activation_scales).
+    `capture_quantile` (e.g. 0.999) captures that |x| quantile instead of
+    the absmax — percentile clipping trades rare-outlier saturation for a
+    finer quantization grid on the bulk of the distribution.
     """
     nodes = list(graph.nodes)
     output_names = list(graph.output_names)
@@ -383,8 +387,10 @@ def make_apply(graph: OnnxGraph, compute_dtype=jnp.float32,
                 a_scale = params.get(f"{node.inputs[1]}#ascale")
                 xin = get(node.inputs[0])
                 if capture_conv_inputs:
-                    conv_absmax[node.inputs[1]] = jnp.max(
-                        jnp.abs(xin.astype(jnp.float32)))
+                    ax = jnp.abs(xin.astype(jnp.float32))
+                    conv_absmax[node.inputs[1]] = (
+                        jnp.quantile(ax.reshape(-1), capture_quantile)
+                        if capture_quantile is not None else jnp.max(ax))
                 x_q = (qenv.get(node.inputs[0])
                        if a_scale is not None else None)
                 y = _conv(xin, w, b, node, compute_dtype,

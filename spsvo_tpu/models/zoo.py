@@ -241,7 +241,7 @@ def weights_dir() -> str:
 
 def load_model(prefix: str, compute_dtype=jnp.float32, seed: int = 0,
                models_dir: Optional[str] = None, int8: bool = False,
-               int8_calibration=None):
+               int8_calibration=None, int8_percentile: Optional[float] = 99.9):
     """Load a model family by its reference prefix.
 
     Returns (apply_fn, params). apply_fn(params, x_nhwc) ->
@@ -250,7 +250,11 @@ def load_model(prefix: str, compute_dtype=jnp.float32, seed: int = 0,
     int8, int8 MXU path); activations use dynamic per-tensor scales unless
     `int8_calibration` ((N, H, W, 1) float images in [0, 1]) is given, in
     which case static calibrated scales are baked into the params and the
-    per-conv dynamic absmax passes disappear.
+    per-conv dynamic absmax passes disappear. `int8_percentile` clips the
+    calibrated scales at that |x| percentile (None = absmax): measured over
+    three corridor drives (BENCH_NOTES.md), absmax calibration averages
+    5.4% drift vs fp32's 2.6% while 99.9-percentile clipping averages
+    2.5% — accuracy on par with fp32/bf16 at int8 speed.
     """
     if prefix in BUNDLED_ONNX:
         d = models_dir or REFERENCE_MODELS_DIR
@@ -278,7 +282,8 @@ def load_model(prefix: str, compute_dtype=jnp.float32, seed: int = 0,
         ascales = {}
         if int8_calibration is not None:
             ascales = calibrate_activation_scales(
-                graph, params, jnp.asarray(int8_calibration))
+                graph, params, jnp.asarray(int8_calibration),
+                percentile=int8_percentile)
         params = quantize_weights(params, conv_names)
         params.update(ascales)
     return make_apply(graph, compute_dtype), params
