@@ -121,6 +121,24 @@ def test_run_sequence_guards_flag_chain_truncation(capsys):
     assert res.guards_summary["matches"] == 0
 
 
+def test_fused_hybrid_feeds_chain_capacity_guard(rng):
+    """The fused modes surface `chain_truncated` per pair, so a solve_slots
+    too small for the scene trips the chain-capacity guard through
+    run_sequence_fused as well (VERDICT r2 weak #7)."""
+    from spsvo_tpu.eval.synthetic import synthetic_drive
+
+    frames, _, P_l, P_r = synthetic_drive(rng, n_frames=4, h=96, w=192,
+                                          forward_per_frame=0.1)
+    cfg = VOConfig(model_name_prefix="sp_mbv1", image_height=48,
+                   image_width=96, max_keypoints=128, ransac_iterations=32,
+                   conf_thresh=0.001, solve_slots=4)
+    res = harness.run_sequence_fused(cfg, frames, P_l, P_r, mode="hybrid")
+    assert all("chain_truncated" in d for d in res.diagnostics)
+    assert all(d["chain_truncated"] for d in res.diagnostics), \
+        res.diagnostics
+    assert res.guards_summary["chain_capacity"] == len(res.diagnostics)
+
+
 def test_score_against_ground_truth(tmp_path):
     from spsvo_tpu.io import kitti
     poses = []
