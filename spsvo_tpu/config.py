@@ -174,6 +174,23 @@ class VOConfig:
     # the hybrid online scan (score+winner+refit+polish+LM+gates in ONE
     # kernel launch per frame); requires single-batch RANSAC + lm_unroll>0;
     # XLA solve_prepared fallback off-TPU
+    # --- landmark fusion (beyond-reference accuracy mode) --------------------
+    # The reference re-triangulates every 3D point from a single stereo pair
+    # each frame (feature_detection_base.cpp:212-223), so integer-pixel
+    # disparity noise re-enters the solve every frame and accumulates as a
+    # random-walk drift. Landmark fusion carries a per-track fused 3D
+    # estimate across frames (track-length-weighted average of the carried
+    # landmark, transformed by the solved pose, with the fresh
+    # triangulation): the prev-side 3D that feeds the Horn hypotheses, the
+    # inlier refit and the degree>=3 LM factors has its depth noise averaged
+    # down by 1/track_length. Tracks are gated by reprojection consistency
+    # in BOTH current images and reset on pose-gate frames.
+    landmark_fusion: bool = False
+    landmark_max_age: int = 30        # cap on the fusion weight / track length
+    landmark_gate_px: float = 4.0     # max reprojection error (px) of the
+    # predicted landmark in the current L/R images for fusion (else reset)
+    landmark_refine: bool = True      # after fusion, re-run the LM refinement
+    # with the fused CURRENT-frame points (one structure->motion alternation)
     speculative_solve: bool = False   # hybrid online mode: precompute the
     # prior-independent RANSAC winner + refinement frame-parallel, leaving
     # only prior-lane scoring + gates in the sequential scan (requires

@@ -316,4 +316,6 @@ def init_state_with_dim(cfg: VOConfig, desc_dim: int) -> VOState:
         q_pred=jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
         t_pred=jnp.zeros((3,), jnp.float32),
         frame_count=jnp.int32(0),
-        initialized=jnp.asarray(False))
+        initialized=jnp.asarray(False),
+        prev_pts3d=jnp.zeros((k, 3), jnp.float32),
+        prev_track_len=jnp.zeros((k,), jnp.int32))

@@ -26,7 +26,7 @@ Output is cam0_curr_T_cam0_prev = (prev_T_curr)^-1 (:377-385).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,8 @@ class SolveInputs(NamedTuple):
     xy_prev_l: jax.Array      # (K, 2) gathered via interframe_map
     xy_prev_r: jax.Array      # (K, 2) gathered via prev chain
     chain_valid: jax.Array    # (K,) bool
+    inter_idx: jax.Array      # (K,) curr-left -> prev-left keypoint slot
+    # (-1 off-chain) — the track identity landmark fusion follows
 
 
 class SolveResult(NamedTuple):
@@ -87,7 +89,8 @@ def build_chain(xy_curr_l, xy_curr_r, valid_curr_l, valid_curr_r,
              & (interframe_map >= 0) & valid_prev_l[f_idx]
              & (dy <= stereo_threshold) & (disp >= min_disparity)
              & (prev_r_map >= 0) & valid_prev_r[pr_idx])
-    return SolveInputs(xy_curr_l, uv_cr, uv_pl, uv_pr, chain)
+    return SolveInputs(xy_curr_l, uv_cr, uv_pl, uv_pr, chain,
+                       jnp.where(chain, interframe_map, -1))
 
 
 class PreparedSolve(NamedTuple):
@@ -106,6 +109,8 @@ class PreparedSolve(NamedTuple):
     sel: jax.Array            # (L,) int32 source slots (for scatter-back)
     num_chain_total: jax.Array  # scalar: chain survivors BEFORE compaction
     # (> sum(chain) means solve_slots truncated the chain — diagnosable)
+    inter_sel: jax.Array      # (L,) prev-left keypoint slot per lane (-1
+    # off-chain) — indexes the carried LandmarkState for fusion
 
 
 def prepare_solve(inputs: SolveInputs, P_l: jax.Array, P_r: jax.Array,
@@ -144,7 +149,8 @@ def prepare_solve(inputs: SolveInputs, P_l: jax.Array, P_r: jax.Array,
     pts3d_prev = jnp.where(chain[:, None], pts3d_prev, 0.0)
     return PreparedSolve(pts3d_curr, pts3d_prev, xy_curr_l, xy_curr_r,
                          xy_prev_l, xy_prev_r, chain, sel,
-                         jnp.sum(chain_full).astype(jnp.int32))
+                         jnp.sum(chain_full).astype(jnp.int32),
+                         jnp.where(chain, inputs.inter_idx[sel], -1))
 
 
 def solve_stereo_odometry(key: jax.Array, inputs: SolveInputs,
@@ -387,3 +393,176 @@ def solve_prepared(key: jax.Array, prep: PreparedSolve, P_l: jax.Array,
         pnp_success=res.success, accel_anomaly=accel_anomaly,
         lm_improved=lm_improved, n_ransac_hypotheses=res.n_hypotheses,
         chain_truncated=prep.num_chain_total > chain.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Landmark fusion (beyond-reference accuracy mode, cfg.landmark_fusion)
+# ---------------------------------------------------------------------------
+#
+# The reference triangulates every 3D point from a single stereo pair each
+# frame (feature_detection_base.cpp:212-223): integer-pixel disparity noise
+# re-enters the solve every frame, and the per-frame pose errors it causes
+# accumulate as random-walk drift (plus a small systematic scale bias from
+# the convexity of depth in disparity). Landmark fusion carries a fused 3D
+# estimate per TRACK (the chain of interframe matches) across frames:
+#
+#   * before the solve, the carried landmark (expressed in the previous
+#     left-camera frame) replaces the fresh prev-side triangulation — the
+#     Horn 3D-3D hypotheses, the winner refit and the degree>=3 LM factors
+#     see depth noise averaged down by 1/track_length;
+#   * after the solve, the landmark is transported into the current frame
+#     with the solved pose and fused with the fresh current triangulation
+#     by a track-length-weighted running average (gated by reprojection
+#     consistency in BOTH current images, capped at landmark_max_age);
+#   * optionally (cfg.landmark_refine) the LM refinement is re-run once
+#     with the fused CURRENT-frame points — one structure->motion
+#     alternation of windowed bundle adjustment.
+#
+# Tracks reset wholesale on pose-gate frames (PnP failure / acceleration
+# anomaly): transporting landmarks through a rejected pose would corrupt
+# them. The mode is sequential by construction (the fused landmark depends
+# on the previous solve), so it lives in the scan body of every online path;
+# all other semantics (prior seeding, gates, prior update) are unchanged.
+
+
+class LandmarkState(NamedTuple):
+    """Carried per-keypoint-slot landmark estimates for ONE frame.
+
+    Aligned to that frame's left-keypoint slots (capacity K): `pts3d` in the
+    frame's left-camera coordinates, `length` = number of fused observations
+    (0 = no track on this slot)."""
+
+    pts3d: jax.Array          # (K, 3) float32
+    length: jax.Array         # (K,) int32
+
+
+def init_landmarks(k: int) -> LandmarkState:
+    return LandmarkState(pts3d=jnp.zeros((k, 3), jnp.float32),
+                         length=jnp.zeros((k,), jnp.int32))
+
+
+def substitute_landmarks(prep: PreparedSolve, lms: LandmarkState
+                         ) -> Tuple[PreparedSolve, jax.Array]:
+    """Replace the fresh prev-side triangulations with carried landmarks.
+
+    Returns (prep with pts3d_prev substituted where a track exists,
+    lane_len (L,) int32 = observation count behind each lane's prev-side
+    point: the carried track length where substituted, 1 for a fresh
+    triangulation)."""
+    f = prep.inter_sel
+    fi = jnp.maximum(f, 0)
+    carried = lms.pts3d[fi]
+    clen = lms.length[fi]
+    has = ((f >= 0) & (clen > 0) & prep.chain
+           & jnp.all(jnp.isfinite(carried), axis=-1))
+    pts3d_prev = jnp.where(has[:, None], carried, prep.pts3d_prev)
+    lane_len = jnp.where(has, clen, 1).astype(jnp.int32)
+    return prep._replace(pts3d_prev=pts3d_prev), lane_len
+
+
+def fuse_landmarks(q: jax.Array, t: jax.Array, use_pred: jax.Array,
+                   inliers: jax.Array, prep: PreparedSolve,
+                   lane_len: jax.Array, P_l: jax.Array, P_r: jax.Array,
+                   cfg: VOConfig) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Transport + fuse: next frame's landmark estimates, at lane level.
+
+    q, t: solved prev_T_curr (x_prev = R x_curr + t); `use_pred` True means
+    the pose gates rejected the solve (tracks reset to the fresh
+    triangulation). Fusion requires the lane to be a PnP inlier and the
+    transported landmark to reproject within `landmark_gate_px` of the
+    observed pixels in BOTH current images (occlusions, association errors
+    and moving objects break tracks instead of poisoning them).
+
+    Returns (pts3d_curr_fused (L, 3), length (L,) int32, fused_mask (L,))."""
+    from spsvo_tpu.ops.triangulation import project
+
+    R = se3.quat_to_matrix(q)
+    x_pred = (prep.pts3d_prev - t) @ R            # R^T (X_prev - t): (L, 3)
+    P32l = P_l.astype(jnp.float32)
+    P32r = P_r.astype(jnp.float32)
+    uv_l = project(P32l, x_pred)
+    uv_r = project(P32r, x_pred)
+    err2 = jnp.maximum(jnp.sum((uv_l - prep.uv_curr_l) ** 2, axis=-1),
+                       jnp.sum((uv_r - prep.uv_curr_r) ** 2, axis=-1))
+    gate2 = cfg.landmark_gate_px * cfg.landmark_gate_px
+    ok = (err2 < gate2) & (x_pred[..., 2] > 0) & jnp.all(
+        jnp.isfinite(x_pred), axis=-1)
+    fuse = (~use_pred) & inliers & prep.chain & ok
+    w = jnp.minimum(lane_len, cfg.landmark_max_age).astype(jnp.float32)
+    x_fused = (w[:, None] * x_pred + prep.pts3d_curr) / (w[:, None] + 1.0)
+    pts = jnp.where(fuse[:, None], x_fused, prep.pts3d_curr)
+    length = jnp.where(fuse,
+                       jnp.minimum(lane_len + 1, cfg.landmark_max_age), 1)
+    length = jnp.where(prep.chain, length, 0)
+    pts = jnp.where(prep.chain[:, None], pts, 0.0)
+    return pts, length, fuse
+
+
+def scatter_landmarks(pts_lanes: jax.Array, len_lanes: jax.Array,
+                      sel: jax.Array, k_capacity: int) -> LandmarkState:
+    """Lane-level landmark arrays -> full keypoint-slot capacity."""
+    pts = jnp.zeros((k_capacity, 3), jnp.float32).at[sel].set(pts_lanes)
+    length = jnp.zeros((k_capacity,), jnp.int32).at[sel].set(len_lanes)
+    return LandmarkState(pts, length)
+
+
+def solve_with_landmarks(key: jax.Array, prep: PreparedSolve,
+                         lms: LandmarkState, P_l: jax.Array, P_r: jax.Array,
+                         q_pred: jax.Array, t_pred: jax.Array,
+                         frame_count: jax.Array, cfg: VOConfig,
+                         k_capacity: int, hyp=None
+                         ) -> Tuple[SolveResult, LandmarkState]:
+    """The landmark-fusion solve for one frame pair: substitute carried
+    landmarks into the prev side, run the standard solve (Pallas-fused when
+    eligible — the substitution happens before the kernel), fuse the
+    landmarks forward with the solved pose, and optionally re-run the LM
+    refinement with the fused current points. Returns the SolveResult (masks
+    scattered to `k_capacity`) and the next frame's LandmarkState (indexed
+    by CURRENT-frame keypoint slots).
+
+    `hyp`: optional precomputed RANSAC hypothesis batch
+    (solver_pallas.precompute_hypotheses on the UNsubstituted prep — seeds
+    are prior- and landmark-independent, so the hybrid mode hoists them out
+    of the sequential scan; scoring/refit/LM consume the substituted
+    points either way)."""
+    prep2, lane_len = substitute_landmarks(prep, lms)
+    if hyp is not None and pallas_solver_eligible(cfg):
+        from spsvo_tpu.ops import solver_pallas
+        res = solver_pallas.fused_solve(hyp, prep2, P_l, P_r, q_pred,
+                                        t_pred, frame_count, cfg)
+    else:
+        res = solve_prepared(key, prep2, P_l, P_r, q_pred, t_pred,
+                             frame_count, cfg)     # lane-level masks
+    use_pred = (~res.pnp_success) | res.accel_anomaly
+    inl = res.inliers
+    pts_lanes, len_lanes, fused = fuse_landmarks(
+        res.q, res.t, use_pred, inl, prep2, lane_len, P_l, P_r, cfg)
+
+    q, t = res.q, res.t
+    if cfg.landmark_refine and cfg.refinement_degree > 0:
+        # one structure->motion alternation: the fused current points feed a
+        # second LM pass (same factor schedule); refine_pose's internal
+        # revert guard keeps a non-improving pass from shipping.
+        refined = lm.refine_pose(
+            q, t, pts_lanes, prep2.pts3d_prev, prep2.uv_prev_l,
+            prep2.uv_prev_r, prep2.uv_curr_l, prep2.uv_curr_r,
+            inl & ~use_pred, P_l, P_r,
+            refinement_degree=cfg.refinement_degree,
+            max_iterations=cfg.lm_max_iterations,
+            huber_delta=cfg.huber_delta, unroll=cfg.lm_unroll)
+        q = jnp.where(use_pred, q, refined.q)
+        t = jnp.where(use_pred, t, refined.t)
+
+    T_prev_curr = se3.make_transform(q, t)
+    res = res._replace(q=q, t=t,
+                       T_curr_prev=se3.invert_transform(T_prev_curr))
+
+    L = prep.chain.shape[0]
+    if L < k_capacity:
+        res = res._replace(
+            inliers=jnp.zeros((k_capacity,), bool).at[prep.sel].set(
+                res.inliers & res.chain_valid),
+            chain_valid=jnp.zeros((k_capacity,), bool).at[prep.sel].set(
+                res.chain_valid))
+    new_lms = scatter_landmarks(pts_lanes, len_lanes, prep.sel, k_capacity)
+    return res, new_lms

@@ -337,7 +337,48 @@ def build_online_hybrid(apply_fn, cfg: VOConfig, mesh: Optional[Mesh] = None,
                     "n_ransac_hypotheses": res.n_ransac_hypotheses,
                     "chain_truncated": res.chain_truncated}
 
-        if pallas_solver:
+        if cfg.landmark_fusion:
+            # landmark-fusion accuracy mode: the carried per-track landmark
+            # state joins the scan carry (the fused landmark depends on the
+            # previous solve, so it is sequential by construction). The
+            # substituted solve inside still uses the fused Pallas kernel
+            # when eligible; speculative_solve is superseded by this branch.
+            from spsvo_tpu.ops.solver import (init_landmarks,
+                                              solve_with_landmarks)
+            k_cap = kp_l.xy.shape[1]
+
+            if pallas_solver:
+                # hypothesis seeds are prior- AND landmark-independent:
+                # precompute them frame-parallel so the scan body is the
+                # substitution + ONE fused kernel + the fusion update
+                from spsvo_tpu.ops.solver_pallas import precompute_hypotheses
+                hyps = shard_frames(jax.vmap(
+                    lambda k, p: precompute_hypotheses(k, p, cfg)
+                )(keys, preps))
+
+                def body(carry, xs):
+                    q_pred, t_pred, fc, lms = carry
+                    prep, k, hyp = xs
+                    res, lms2 = solve_with_landmarks(
+                        k, prep, lms, P_l, P_r, q_pred, t_pred, fc, cfg,
+                        k_capacity=k_cap, hyp=hyp)
+                    return ((res.q_pred, res.t_pred, fc + 1, lms2),
+                            (res.q, res.t, diag_of(res)))
+
+                xs = (preps, keys, hyps)
+            else:
+                def body(carry, xs):
+                    q_pred, t_pred, fc, lms = carry
+                    prep, k = xs
+                    res, lms2 = solve_with_landmarks(
+                        k, prep, lms, P_l, P_r, q_pred, t_pred, fc, cfg,
+                        k_capacity=k_cap)
+                    return ((res.q_pred, res.t_pred, fc + 1, lms2),
+                            (res.q, res.t, diag_of(res)))
+
+                xs = (preps, keys)
+            scan_init_extra = (init_landmarks(k_cap),)
+        elif pallas_solver:
             # phase 2.6 (parallel): prior-independent hypothesis batch;
             # phase 3's body is ONE fused Pallas kernel per frame
             # (ops/solver_pallas.py) — erases the per-op dispatch overhead
@@ -389,8 +430,10 @@ def build_online_hybrid(apply_fn, cfg: VOConfig, mesh: Optional[Mesh] = None,
 
             xs = (preps, keys)
 
+        if not cfg.landmark_fusion:
+            scan_init_extra = ()
         init = (jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
-                jnp.zeros(3, jnp.float32), jnp.int32(0))
+                jnp.zeros(3, jnp.float32), jnp.int32(0)) + scan_init_extra
         # the one phase-boundary collective: all-gather the prepared per-pair
         # inputs (KBs/pair) so the scalar prior-scan runs replicated with the
         # reference's exact sequential semantics

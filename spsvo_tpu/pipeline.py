@@ -43,6 +43,9 @@ class VOState(NamedTuple):
     t_pred: jax.Array              # (3,)
     frame_count: jax.Array         # scalar int32
     initialized: jax.Array         # scalar bool (first frame seen)
+    prev_pts3d: jax.Array          # (K, 3) fused landmark per prev-left slot
+    # (prev-left camera coords; zeros when cfg.landmark_fusion is off)
+    prev_track_len: jax.Array      # (K,) int32 fused observation count
 
 
 class VOStepOutput(NamedTuple):
@@ -73,7 +76,9 @@ def init_state(cfg: VOConfig) -> VOState:
         q_pred=jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
         t_pred=jnp.zeros((3,), jnp.float32),
         frame_count=jnp.int32(0),
-        initialized=jnp.asarray(False))
+        initialized=jnp.asarray(False),
+        prev_pts3d=jnp.zeros((k, 3), jnp.float32),
+        prev_track_len=jnp.zeros((k,), jnp.int32))
 
 
 def superpoint_frontend(apply_fn, params, images: jax.Array, cfg: VOConfig
@@ -167,9 +172,21 @@ def solve_stage(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
     # frame never solves), so its value at solve #N is N-1; ours counts every
     # ingested frame — subtract 1 so the acceleration gate arms on the same
     # frame (feature_detection_base.cpp:396, :251)
-    res = solver.solve_stereo_odometry(
-        key, chain, P_l, P_r, state.q_pred, state.t_pred,
-        state.frame_count - 1, cfg)
+    k_cap = kp_l.xy.shape[0]
+    if cfg.landmark_fusion:
+        prep = solver.prepare_solve(chain, P_l, P_r, cfg)
+        res, new_lms = solver.solve_with_landmarks(
+            key, prep, solver.LandmarkState(state.prev_pts3d,
+                                            state.prev_track_len),
+            P_l, P_r, state.q_pred, state.t_pred, state.frame_count - 1,
+            cfg, k_capacity=k_cap)
+        prev_pts3d, prev_track_len = new_lms.pts3d, new_lms.length
+    else:
+        res = solver.solve_stereo_odometry(
+            key, chain, P_l, P_r, state.q_pred, state.t_pred,
+            state.frame_count - 1, cfg)
+        prev_pts3d = jnp.zeros((k_cap, 3), jnp.float32)
+        prev_track_len = jnp.zeros((k_cap,), jnp.int32)
 
     identity = jnp.eye(4, dtype=jnp.float32)
     first = ~state.initialized
@@ -182,7 +199,9 @@ def solve_stage(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
         prev_stereo_map=stereo_idx,
         q_pred=q_pred, t_pred=t_pred,
         frame_count=state.frame_count + 1,
-        initialized=jnp.asarray(True))
+        initialized=jnp.asarray(True),
+        prev_pts3d=prev_pts3d,
+        prev_track_len=prev_track_len)
 
     diagnostics = {
         "num_keypoints_left": jnp.sum(kp_l.valid).astype(jnp.int32),
@@ -196,6 +215,10 @@ def solve_stage(state: VOState, kp_l: Keypoints, kp_r: Keypoints,
         "lm_improved": res.lm_improved,
         "n_ransac_hypotheses": res.n_ransac_hypotheses,
         "chain_truncated": res.chain_truncated,
+        # landmark-fusion telemetry (zeros when the mode is off)
+        "num_tracks": jnp.sum(prev_track_len >= 2).astype(jnp.int32),
+        "mean_track_len": (jnp.sum(prev_track_len).astype(jnp.float32)
+                           / jnp.maximum(jnp.sum(prev_track_len > 0), 1)),
     }
     out = VOStepOutput(
         T_curr_prev=T, keypoints_left=kp_l, keypoints_right=kp_r,

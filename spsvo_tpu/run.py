@@ -37,6 +37,8 @@ def cmd_eval(args) -> int:
     cfg = PRESETS[args.preset]()
     if args.model:
         cfg = dataclasses.replace(cfg, model_name_prefix=args.model)
+    if getattr(args, "landmark_fusion", False):
+        cfg = dataclasses.replace(cfg, landmark_fusion=True)
     if not args.sample_images and args.kitti_root is None:
         print("need --kitti-root or --sample-images", file=sys.stderr)
         return 2
@@ -159,6 +161,11 @@ def main(argv=None) -> int:
                         "whole-sequence on-device with exact online "
                         "semantics (the bench headline mode), 'batch' = "
                         "offline throughput mode")
+    p.add_argument("--landmark-fusion", action="store_true",
+                   help="beyond-reference accuracy mode: carry fused 3D "
+                        "landmarks across frames (multi-frame depth "
+                        "averaging) instead of re-triangulating every "
+                        "frame; see docs/landmark_matrix.json")
     p.add_argument("--sample-images", action="store_true",
                    help="run over the 22 bundled reference frames")
     p.add_argument("--compile-sweep", action="store_true",

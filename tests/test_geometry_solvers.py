@@ -296,7 +296,8 @@ def _prepared_from_frame(data):
         uv_prev_l=jnp.asarray(data["uv_prev_l"]),
         uv_prev_r=jnp.asarray(data["uv_prev_r"]),
         chain=chain, sel=jnp.arange(k, dtype=jnp.int32),
-        num_chain_total=jnp.sum(chain).astype(jnp.int32))
+        num_chain_total=jnp.sum(chain).astype(jnp.int32),
+        inter_sel=jnp.where(chain, jnp.arange(k, dtype=jnp.int32), -1))
 
 
 def test_speculative_solve_matches_solve_prepared(rng):
