@@ -333,6 +333,21 @@ def main():
     except Exception as e:
         log(f"int8 aux run failed: {e}")
 
+    # ---- aux: landmark-fusion accuracy mode (beyond reference) ------------
+    # carried per-track fused 3D landmarks replace per-frame re-triangulation
+    # (docs/landmark_matrix.json: multi-drive drift matrix). Same online
+    # gate/prior semantics; the carried LandmarkState joins the scan.
+    try:
+        cfg_lm = dataclasses.replace(cfg_seq, landmark_fusion=True)
+        hlm = build_online_hybrid(apply_fn, cfg_lm)
+        fps_lm, diags_lm = _measure_pipelined(hlm, args_h, N_FRAMES)
+        log(f"online-hybrid fp32 + landmark fusion (sustained): "
+            f"{fps_lm:.1f} FPS "
+            f"(mean inliers {np.asarray(diags_lm['num_inliers']).mean():.0f}) "
+            + _drift_str(hlm, args_h, gt_poses))
+    except Exception as e:
+        log(f"landmark aux run failed: {e}")
+
     print(json.dumps({
         "metric": "stereo_vo_fps",
         "value": round(fps, 2),

@@ -189,8 +189,22 @@ class VOConfig:
     landmark_max_age: int = 30        # cap on the fusion weight / track length
     landmark_gate_px: float = 4.0     # max reprojection error (px) of the
     # predicted landmark in the current L/R images for fusion (else reset)
-    landmark_refine: bool = True      # after fusion, re-run the LM refinement
-    # with the fused CURRENT-frame points (one structure->motion alternation)
+    landmark_weighted_lm: bool = True  # GLS re-refinement: re-run the LM
+    # from the solved pose with the backward-in-time factors (whose prev-side
+    # 3D is a fused landmark, variance ~ 1/track_length) weighted by the
+    # capped track length — the statistically-correct weighting once tracks
+    # carry unequal depth variance. Uses only observation-anchored points
+    # (no pose-feedback loop, unlike landmark_refine). Needs degree >= 3.
+    # Measured (docs/landmark_matrix.json, 5 drives x 3 keys): mean drift
+    # 1.50% -> 0.90%, ATE 0.144 -> 0.079 m, RPE-t 0.045 -> 0.039 m.
+    landmark_refine: bool = False     # after fusion, re-run the LM refinement
+    # with the fused CURRENT-frame points. Default OFF on measurement
+    # (docs/landmark_matrix.json): re-estimating the pose from points the
+    # same pose just created is a positive-feedback loop — the pure
+    # substitution mode (prev-side landmarks only, anchored to observations
+    # independent of the current estimate) wins on every drive
+    # (mean ATE 0.113 vs 0.158 m), while this alternation LOSES to the
+    # plain baseline (1.63% vs 1.50% mean drift)
     speculative_solve: bool = False   # hybrid online mode: precompute the
     # prior-independent RANSAC winner + refinement frame-parallel, leaving
     # only prior-lane scoring + gates in the sequential scan (requires

@@ -152,7 +152,8 @@ def refine_pose(q0: jax.Array, t0: jax.Array, pts3d_curr: jax.Array,
                 uv_curr_r: jax.Array, inliers: jax.Array, P_l: jax.Array,
                 P_r: jax.Array, *, refinement_degree: int = 4,
                 max_iterations: int = 40, huber_delta: float = 1.0,
-                unroll: int = 0) -> LMResult:
+                unroll: int = 0,
+                inv_factor_weights: jax.Array | None = None) -> LMResult:
     """LM over (q, t) = prev_T_curr on the degree-gated factor set.
 
     All point arrays are (K, ...) with `inliers` (K,) selecting the PnP
@@ -171,6 +172,15 @@ def refine_pose(q0: jax.Array, t0: jax.Array, pts3d_curr: jax.Array,
                           dtype=bool)
     mask = inliers[:, None] & factor_on[None, :]          # (K, 4)
     mask = mask.astype(jnp.float32)
+    if inv_factor_weights is not None:
+        # GLS weighting of the backward-in-time factors (landmark fusion):
+        # the prev-side 3D behind factors 3/4 is a fused landmark whose
+        # depth variance scales as 1/track_length, so its squared residuals
+        # carry `inv_factor_weights` (typically the capped track length)
+        # while the fresh-triangulation forward factors keep weight 1.
+        w = inv_factor_weights.astype(jnp.float32)
+        ones = jnp.ones_like(w)
+        mask = mask * jnp.stack([ones, ones, w, w], axis=1)
 
     P_l = P_l.astype(jnp.float32)
     P_r = P_r.astype(jnp.float32)

@@ -535,10 +535,28 @@ def solve_with_landmarks(key: jax.Array, prep: PreparedSolve,
                              frame_count, cfg)     # lane-level masks
     use_pred = (~res.pnp_success) | res.accel_anomaly
     inl = res.inliers
-    pts_lanes, len_lanes, fused = fuse_landmarks(
-        res.q, res.t, use_pred, inl, prep2, lane_len, P_l, P_r, cfg)
 
     q, t = res.q, res.t
+    if cfg.landmark_weighted_lm and cfg.refinement_degree >= 3:
+        # GLS pass: same factors, same observation-anchored points (prep2 —
+        # substituted prev landmarks + fresh curr triangulation, no pose
+        # feedback), but the backward factors weighted by the track length
+        # behind their prev-side 3D (variance ~ 1/length).
+        w_inv = jnp.minimum(lane_len, cfg.landmark_max_age
+                            ).astype(jnp.float32)
+        refined = lm.refine_pose(
+            q, t, prep2.pts3d_curr, prep2.pts3d_prev, prep2.uv_prev_l,
+            prep2.uv_prev_r, prep2.uv_curr_l, prep2.uv_curr_r,
+            inl & ~use_pred, P_l, P_r,
+            refinement_degree=cfg.refinement_degree,
+            max_iterations=cfg.lm_max_iterations,
+            huber_delta=cfg.huber_delta, unroll=cfg.lm_unroll,
+            inv_factor_weights=w_inv)
+        q = jnp.where(use_pred, q, refined.q)
+        t = jnp.where(use_pred, t, refined.t)
+
+    pts_lanes, len_lanes, fused = fuse_landmarks(
+        q, t, use_pred, inl, prep2, lane_len, P_l, P_r, cfg)
     if cfg.landmark_refine and cfg.refinement_degree > 0:
         # one structure->motion alternation: the fused current points feed a
         # second LM pass (same factor schedule); refine_pose's internal

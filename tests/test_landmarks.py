@@ -301,3 +301,37 @@ def test_landmark_off_state_is_inert(rng):
     assert not np.asarray(state2.prev_track_len).any()
     assert not np.asarray(state2.prev_pts3d).any()
     assert int(out.diagnostics["num_tracks"]) == 0
+
+
+def test_weighted_lm_zero_inverse_weights_equals_degree2(rng):
+    """GLS sanity: inv_factor_weights=0 must reproduce refinement_degree=2
+    exactly (zeroed backward factors == degree-gated-off backward factors),
+    and a large weight must pull the solution toward the backward factors."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_geometry_solvers import _vo_frame
+
+    from spsvo_tpu.ops import lm
+
+    data, R, t = _vo_frame(rng, n=200, noise=0.4)
+    q0 = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+    args = (jnp.asarray(data["pts3d_curr"]), jnp.asarray(data["pts3d_prev"]),
+            jnp.asarray(data["uv_prev_l"]), jnp.asarray(data["uv_prev_r"]),
+            jnp.asarray(data["uv_curr_l"]), jnp.asarray(data["uv_curr_r"]),
+            jnp.asarray(data["valid"]),
+            jnp.asarray(P_L, jnp.float32), jnp.asarray(P_R, jnp.float32))
+    k = data["valid"].shape[0]
+    res_w0 = lm.refine_pose(q0, t0, *args, refinement_degree=4, unroll=6,
+                            inv_factor_weights=jnp.zeros((k,), jnp.float32))
+    res_d2 = lm.refine_pose(q0, t0, *args, refinement_degree=2, unroll=6)
+    np.testing.assert_allclose(np.asarray(res_w0.q), np.asarray(res_d2.q),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_w0.t), np.asarray(res_d2.t),
+                               atol=1e-6)
+    # weights 1 everywhere == plain degree 4
+    res_w1 = lm.refine_pose(q0, t0, *args, refinement_degree=4, unroll=6,
+                            inv_factor_weights=jnp.ones((k,), jnp.float32))
+    res_d4 = lm.refine_pose(q0, t0, *args, refinement_degree=4, unroll=6)
+    np.testing.assert_allclose(np.asarray(res_w1.q), np.asarray(res_d4.q),
+                               atol=1e-6)

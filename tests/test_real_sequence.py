@@ -105,3 +105,35 @@ def test_real_sequence_full_pipeline(sample_image_dir):
     # succeed with a healthy margin over the <10-matches guard
     assert all(success[1:]), success
     assert min(inliers[1:]) > 25, inliers
+
+
+def test_real_sequence_landmark_fusion(sample_image_dir):
+    """Landmark fusion on REAL imagery: over the 22-frame forward sequence,
+    tracks must form and persist (real texture, real inter-frame motion —
+    not just the ray-cast scenes the accuracy matrix uses), the solver must
+    stay healthy, and fused landmarks must not reduce inlier counts."""
+    from spsvo_tpu.pipeline import VisualOdometry
+
+    raw = _load_raw(sample_image_dir)
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]])
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    cfg = VOConfig(model_name_prefix="sp_mbv1", max_keypoints=512,
+                   landmark_fusion=True)
+    vo = VisualOdometry(cfg)
+    inliers, success, tracks, track_len = [], [], [], []
+    for img in raw:
+        T, info = vo.process(img, np.roll(img, -8, axis=1), P, P_r,
+                             want_diagnostics=True)
+        assert np.all(np.isfinite(T))
+        inliers.append(info["num_inliers"])
+        success.append(info["pnp_success"])
+        tracks.append(info["num_tracks"])
+        track_len.append(info["mean_track_len"])
+    assert all(success[1:]), success
+    assert min(inliers[1:]) > 25, inliers
+    # tracks form from the second solve on and persist across the sequence
+    assert all(t > 20 for t in tracks[2:]), tracks
+    # multi-frame persistence: mean track length keeps growing past 2
+    assert max(track_len) > 3.0, track_len

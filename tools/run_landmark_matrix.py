@@ -6,9 +6,12 @@ single-drive comparisons at this scale are noise, the matrix is the
 evidence). Runs the 120x392 online-hybrid on S-curve corridor drives with:
 
   * fp32            — the per-frame re-triangulating baseline (headline cfg)
-  * landmark        — cfg.landmark_fusion (substitute + fuse + re-LM)
-  * landmark_norelm — fusion without the post-fusion LM re-refinement
-                      (isolates the structure->motion alternation's value)
+  * landmark        — cfg.landmark_fusion at shipped defaults (substitution
+                      + fusion + GLS track-weighted LM re-refinement)
+  * landmark_nogls  — fusion without the weighted-LM pass (ablation)
+  * landmark_relm   — + the fused-current-points re-LM alternation
+                      (REJECTED variant kept as the ablation record: the
+                      pose-feedback loop loses to the plain baseline)
 
 Writes docs/landmark_matrix.json and prints a markdown table.
 
@@ -98,8 +101,11 @@ def main():
     settings = {
         "fp32": base,
         "landmark": dataclasses.replace(base, landmark_fusion=True),
-        "landmark_norelm": dataclasses.replace(
-            base, landmark_fusion=True, landmark_refine=False),
+        "landmark_nogls": dataclasses.replace(
+            base, landmark_fusion=True, landmark_weighted_lm=False),
+        "landmark_relm": dataclasses.replace(
+            base, landmark_fusion=True, landmark_refine=True,
+            landmark_weighted_lm=False),
     }
     apply_fn, params = zoo.load_model(base.model_name_prefix)
 
