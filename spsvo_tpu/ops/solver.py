@@ -526,10 +526,16 @@ def solve_with_landmarks(key: jax.Array, prep: PreparedSolve,
     of the sequential scan; scoring/refit/LM consume the substituted
     points either way)."""
     prep2, lane_len = substitute_landmarks(prep, lms)
+    weighted = cfg.landmark_weighted_lm and cfg.refinement_degree >= 3
+    weighted_in_kernel = False
     if hyp is not None and pallas_solver_eligible(cfg):
         from spsvo_tpu.ops import solver_pallas
+        w_row = (jnp.minimum(lane_len, cfg.landmark_max_age
+                             ).astype(jnp.float32) if weighted else None)
         res = solver_pallas.fused_solve(hyp, prep2, P_l, P_r, q_pred,
-                                        t_pred, frame_count, cfg)
+                                        t_pred, frame_count, cfg,
+                                        lane_weights=w_row)
+        weighted_in_kernel = weighted
     else:
         res = solve_prepared(key, prep2, P_l, P_r, q_pred, t_pred,
                              frame_count, cfg)     # lane-level masks
@@ -537,7 +543,7 @@ def solve_with_landmarks(key: jax.Array, prep: PreparedSolve,
     inl = res.inliers
 
     q, t = res.q, res.t
-    if cfg.landmark_weighted_lm and cfg.refinement_degree >= 3:
+    if weighted and not weighted_in_kernel:
         # GLS pass: same factors, same observation-anchored points (prep2 —
         # substituted prev landmarks + fresh curr triangulation, no pose
         # feedback), but the backward factors weighted by the track length

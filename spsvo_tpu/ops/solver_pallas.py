@@ -232,24 +232,38 @@ def _factor_spec(rows, Pl, Pr):
             (Pl, rows["uv_cl"], "inv"), (Pr, rows["uv_cr"], "inv"))
 
 
-def _huber_cost(factors_r, mask_row, delta):
-    """0.5 * sum rho(s) over active factors (lm._cost)."""
+def _factor_masks(mask_row, lw_row, degree):
+    """Per-factor weight rows: GLS weighting (lm.refine_pose
+    inv_factor_weights) multiplies the backward factors (index >= 2) by the
+    track-length row; forward factors keep the plain mask."""
+    if lw_row is None:
+        return [mask_row] * degree
+    return [mask_row if f < 2 else mask_row * lw_row for f in range(degree)]
+
+
+def _huber_cost(factors_r, masks, delta):
+    """0.5 * sum rho(s) over active factors (lm._cost); `masks` is one
+    weight row per factor (GLS weights folded in, like lm.py's mask)."""
     d2 = delta * delta
     cost = jnp.float32(0.0)
-    for (r0, r1) in factors_r:
+    for (r0, r1), m in zip(factors_r, masks):
         s = r0 * r0 + r1 * r1
         rho = jnp.where(s <= d2, s,
                         2.0 * delta * jnp.sqrt(jnp.maximum(s, 1e-20)) - d2)
-        cost = cost + jnp.sum(rho * mask_row)
+        cost = cost + jnp.sum(rho * m)
     return 0.5 * cost
 
 
-def _lm_iterations(q, t, rows, mask_row, Pl, Pr, *, degree, delta, iters):
+def _lm_iterations(q, t, rows, mask_row, Pl, Pr, *, degree, delta, iters,
+                   lw_row=None):
     """lm.refine_pose's trace-unrolled LM on scalars+rows: analytic Jacobian,
     IRLS-Huber, Cholesky 6x6 step, boxplus update, accept/damping logic,
-    revert-on-non-improvement. Returns (q, t, improved)."""
+    revert-on-non-improvement. `lw_row` = optional GLS weights for the
+    backward factors (lm.refine_pose's inv_factor_weights).
+    Returns (q, t, improved)."""
+    masks = _factor_masks(mask_row, lw_row, degree)
     c0 = _huber_cost(_factor_residuals(q, t, rows, Pl, Pr, degree),
-                     mask_row, delta)
+                     masks, delta)
     lam = jnp.float32(1e-4)
     cost = c0
     Xc, Xp = rows["Xc"], rows["Xp"]
@@ -301,7 +315,7 @@ def _lm_iterations(q, t, rows, mask_row, Pl, Pr, *, degree, delta, iters):
                         J[r][3 + m] = -sum(JA[r][c] * R[3 * m + c]
                                            for c in range(3))
             nrm = jnp.sqrt(r0 * r0 + r1 * r1)
-            wh = jnp.minimum(1.0, delta / jnp.maximum(nrm, 1e-12)) * mask_row
+            wh = jnp.minimum(1.0, delta / jnp.maximum(nrm, 1e-12)) * masks[f]
             for a in range(6):
                 for b in range(a + 1):
                     Hm[(a, b)] = Hm[(a, b)] + jnp.sum(
@@ -317,7 +331,7 @@ def _lm_iterations(q, t, rows, mask_row, Pl, Pr, *, degree, delta, iters):
         t_new = (t[0] + d[3], t[1] + d[4], t[2] + d[5])
         cost_new = _huber_cost(
             _factor_residuals(q_new, t_new, rows, Pl, Pr, degree),
-            mask_row, delta)
+            masks, delta)
         accept = cost_new < cost
         q = tuple(jnp.where(accept, q_new[i], q[i]) for i in range(4))
         t = tuple(jnp.where(accept, t_new[i], t[i]) for i in range(3))
@@ -367,7 +381,7 @@ def _refit_polish_rows(R, t, inl, rows, Pl, thr2, delta, polish_iters):
 def _solve_kernel(pts_ref, hyp_ref, scal_ref, out_ref, inl_ref, *,
                   S, L, thr2, reproj_threshold, huber_delta, min_inliers,
                   time_interval, max_acceleration, ignore_frame_count,
-                  degree, lm_iters, polish_iters):
+                  degree, lm_iters, polish_iters, weighted_lm=False):
     pts = pts_ref[:]                                   # (16, L)
     rows = {
         "Xc": (pts[0:1], pts[1:2], pts[2:3]),
@@ -377,6 +391,7 @@ def _solve_kernel(pts_ref, hyp_ref, scal_ref, out_ref, inl_ref, *,
         "uv_cl": (pts[10:11], pts[11:12]),
         "uv_cr": (pts[12:13], pts[13:14]),
         "ch": pts[14:15],
+        "lw": pts[15:16],   # GLS track-length weights (landmark fusion)
     }
     chain = rows["ch"]
     Xc = rows["Xc"]
@@ -454,6 +469,20 @@ def _solve_kernel(pts_ref, hyp_ref, scal_ref, out_ref, inl_ref, *,
         t = tuple(jnp.where(do_opt, t_lm[i], t[i]) for i in range(3))
         lm_improved = improved & do_opt
 
+    # ---- GLS weighted LM re-refinement (landmark fusion) -----------------
+    # mirrors solver.solve_with_landmarks's XLA pass: a second LM from the
+    # refined pose with the backward factors weighted by the track-length
+    # row (variance ~ 1/length), revert-guarded, gated like the first pass.
+    if weighted_lm and degree >= 3 and lm_iters > 0:
+        mask = inl * jnp.where(do_opt, 1.0, 0.0)
+        q_w, t_w, c_f, c_0, improved_w = _lm_iterations(
+            q, t, rows, mask, Pl, Pr, degree=degree, delta=huber_delta,
+            iters=lm_iters, lw_row=rows["lw"])
+        q_w = tuple(jnp.where(improved_w, q_w[i], q[i]) for i in range(4))
+        t_w = tuple(jnp.where(improved_w, t_w[i], t[i]) for i in range(3))
+        q = tuple(jnp.where(do_opt, q_w[i], q[i]) for i in range(4))
+        t = tuple(jnp.where(do_opt, t_w[i], t[i]) for i in range(3))
+
     f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
     outs = [q[0], q[1], q[2], q[3], t[0], t[1], t[2],
             q_pn[0], q_pn[1], q_pn[2], q_pn[3], t_pn[0], t_pn[1], t_pn[2],
@@ -491,13 +520,16 @@ def precompute_hypotheses(key: jax.Array, prep: PreparedSolve,
     return FusedHypotheses(hyp=hyp.astype(jnp.float32))
 
 
-def pack_points(prep: PreparedSolve) -> jax.Array:
+def pack_points(prep: PreparedSolve,
+                lane_weights: jax.Array | None = None) -> jax.Array:
     """Pack a PreparedSolve into the kernel's (16, Lp) row layout.
 
     Prior-independent — the hybrid online mode vmaps this over all pairs in
     the frame-parallel phase so the sequential scan body issues only the
     scalar vector + the kernel launch (packing inside the scan would pay the
-    very per-op dispatch overhead the kernel exists to erase)."""
+    very per-op dispatch overhead the kernel exists to erase). Landmark
+    fusion packs IN-scan instead (its prev-side points and `lane_weights` —
+    the GLS track-length row for the weighted LM — are scan-carried)."""
     L = prep.chain.shape[0]
     Lp = max(128, -(-L // 128) * 128)
 
@@ -514,7 +546,8 @@ def pack_points(prep: PreparedSolve) -> jax.Array:
         pad(prep.uv_curr_l[:, 0]), pad(prep.uv_curr_l[:, 1]),
         pad(prep.uv_curr_r[:, 0]), pad(prep.uv_curr_r[:, 1]),
         pad(prep.chain.astype(jnp.float32)),
-        jnp.zeros((Lp,), jnp.float32),
+        (jnp.zeros((Lp,), jnp.float32) if lane_weights is None
+         else pad(lane_weights)),
     ])                                                 # (16, Lp)
 
 
@@ -522,18 +555,21 @@ def fused_solve(hyp: FusedHypotheses, prep: PreparedSolve, P_l: jax.Array,
                 P_r: jax.Array, q_pred: jax.Array, t_pred: jax.Array,
                 frame_count: jax.Array, cfg: VOConfig,
                 interpret: bool = False,
-                pts: jax.Array | None = None) -> SolveResult:
+                pts: jax.Array | None = None,
+                lane_weights: jax.Array | None = None) -> SolveResult:
     """One-kernel replacement for solver.solve_prepared's prior-dependent
     core (single-batch RANSAC + unrolled-LM configuration required).
 
     `pts` — optionally a precomputed `pack_points(prep)` result, so scan
-    bodies don't re-pack per frame."""
+    bodies don't re-pack per frame. `lane_weights` — GLS track-length row
+    (landmark fusion): runs the weighted LM re-refinement as a second
+    in-kernel pass instead of the XLA pass in solve_with_landmarks."""
     if cfg.lm_unroll <= 0:
         raise ValueError("fused_solve requires cfg.lm_unroll > 0 "
                          "(trace-unrolled LM, the sequential-path tuning)")
     L = prep.chain.shape[0]
     if pts is None:
-        pts = pack_points(prep)
+        pts = pack_points(prep, lane_weights)
     Lp = pts.shape[1]
 
     scal = jnp.concatenate([
@@ -555,7 +591,8 @@ def fused_solve(hyp: FusedHypotheses, prep: PreparedSolve, P_l: jax.Array,
         ignore_frame_count=float(cfg.ignore_frame_count),
         degree=int(cfg.refinement_degree),
         lm_iters=int(cfg.lm_unroll),
-        polish_iters=int(min(cfg.lm_unroll, 4)))
+        polish_iters=int(min(cfg.lm_unroll, 4)),
+        weighted_lm=lane_weights is not None)
 
     out, inl = pl.pallas_call(
         kernel,

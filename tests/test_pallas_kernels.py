@@ -274,3 +274,56 @@ def test_fused_solver_tpu_lowering_parity(rng):
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
                                atol=1e-3)
     assert abs(int(got.num_inliers) - int(ref.num_inliers)) <= 3
+
+
+def test_fused_solver_weighted_lm_matches_xla(rng):
+    """The in-kernel GLS weighted-LM pass (landmark fusion's lane_weights)
+    must reproduce the XLA composition solve_prepared + weighted
+    lm.refine_pose that solve_with_landmarks runs off-TPU."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_geometry_solvers import P_L, P_R, _prepared_from_frame, _vo_frame
+
+    from spsvo_tpu.config import VOConfig
+    from spsvo_tpu.ops import lm, solver, solver_pallas
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", ransac_iterations=64,
+                   ransac_chunk=0, lm_unroll=6, solve_slots=0)
+    data, R, t = _vo_frame(rng, n=250, outlier_frac=0.1, k_pad=512)
+    prep = _prepared_from_frame(data)
+    P_l = jnp.asarray(P_L, jnp.float32)
+    P_r = jnp.asarray(P_R, jnp.float32)
+    key = jax.random.PRNGKey(3)
+    fc = jnp.int32(5)
+    q_id = jnp.array([0, 0, 0, 1.0], jnp.float32)
+    t_id = jnp.zeros(3, jnp.float32)
+    k = prep.chain.shape[0]
+    w_row = jnp.asarray(
+        rng.integers(1, 12, k).astype(np.float32))
+
+    # XLA reference: unweighted solve, then the GLS pass from the refined
+    # pose (exactly solve_with_landmarks's non-kernel branch)
+    ref = solver.solve_prepared(key, prep, P_l, P_r, q_id, t_id, fc, cfg)
+    use_pred = (~ref.pnp_success) | ref.accel_anomaly
+    refined = lm.refine_pose(
+        ref.q, ref.t, prep.pts3d_curr, prep.pts3d_prev, prep.uv_prev_l,
+        prep.uv_prev_r, prep.uv_curr_l, prep.uv_curr_r,
+        ref.inliers & ~use_pred, P_l, P_r,
+        refinement_degree=cfg.refinement_degree,
+        max_iterations=cfg.lm_max_iterations,
+        huber_delta=cfg.huber_delta, unroll=cfg.lm_unroll,
+        inv_factor_weights=w_row)
+    q_ref = jnp.where(use_pred, ref.q, refined.q)
+    t_ref = jnp.where(use_pred, ref.t, refined.t)
+
+    hyp = solver_pallas.precompute_hypotheses(key, prep, cfg)
+    got = solver_pallas.fused_solve(hyp, prep, P_l, P_r, q_id, t_id, fc,
+                                    cfg, interpret=True, lane_weights=w_row)
+    np.testing.assert_allclose(np.asarray(got.q), np.asarray(q_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(t_ref),
+                               atol=1e-3)
+    # the weighted pass must differ from the unweighted result (the weights
+    # actually steer the solution) while staying near the true pose
+    assert np.abs(np.asarray(got.t) - np.asarray(ref.t)).max() > 1e-6
