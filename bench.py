@@ -348,6 +348,24 @@ def main():
     except Exception as e:
         log(f"landmark aux run failed: {e}")
 
+    # ---- aux: composed int8 trunk + landmark fusion -----------------------
+    # the precision ladder and the accuracy mode compose freely (the geometry
+    # solve stays fp32 in all trunk precisions): int8 speed at
+    # landmark-fusion accuracy (BENCH_NOTES.md round-3 table).
+    try:
+        cfg_lm8 = dataclasses.replace(cfg_seq, landmark_fusion=True,
+                                      precision=Precision.INT8)
+        hlm8 = build_online_hybrid(apply8, cfg_lm8)
+        args_lm8 = (params8, images, P_l_j, P_r_j, key)
+        fps_lm8, diags_lm8 = _measure_pipelined(hlm8, args_lm8, N_FRAMES)
+        log(f"online-hybrid int8 + landmark fusion (sustained): "
+            f"{fps_lm8:.1f} FPS "
+            f"(mean inliers "
+            f"{np.asarray(diags_lm8['num_inliers']).mean():.0f}) "
+            + _drift_str(hlm8, args_lm8, gt_poses))
+    except Exception as e:
+        log(f"int8+landmark aux run failed: {e}")
+
     print(json.dumps({
         "metric": "stereo_vo_fps",
         "value": round(fps, 2),

@@ -362,7 +362,13 @@ def build_online_hybrid(apply_fn, cfg: VOConfig, mesh: Optional[Mesh] = None,
                     res, lms2 = solve_with_landmarks(
                         k, prep, lms, P_l, P_r, q_pred, t_pred, fc, cfg,
                         k_capacity=k_cap, hyp=hyp)
-                    return ((res.q_pred, res.t_pred, fc + 1, lms2),
+                    # the per-track landmark carry must stay replicated: the
+                    # SPMD partitioner is otherwise free to shard it over the
+                    # mesh, turning the fusion update's reductions into
+                    # cross-device sums with a different fp summation order
+                    # (breaks sharded==unsharded bit-equality)
+                    return ((res.q_pred, res.t_pred, fc + 1,
+                             replicate(lms2)),
                             (res.q, res.t, diag_of(res)))
 
                 xs = (preps, keys, hyps)
@@ -373,11 +379,12 @@ def build_online_hybrid(apply_fn, cfg: VOConfig, mesh: Optional[Mesh] = None,
                     res, lms2 = solve_with_landmarks(
                         k, prep, lms, P_l, P_r, q_pred, t_pred, fc, cfg,
                         k_capacity=k_cap)
-                    return ((res.q_pred, res.t_pred, fc + 1, lms2),
+                    return ((res.q_pred, res.t_pred, fc + 1,
+                             replicate(lms2)),
                             (res.q, res.t, diag_of(res)))
 
                 xs = (preps, keys)
-            scan_init_extra = (init_landmarks(k_cap),)
+            scan_init_extra = (replicate(init_landmarks(k_cap)),)
         elif pallas_solver:
             # phase 2.6 (parallel): prior-independent hypothesis batch;
             # phase 3's body is ONE fused Pallas kernel per frame

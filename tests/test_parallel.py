@@ -321,3 +321,42 @@ def test_online_hybrid_speculative_matches_nonspeculative(rng):
                                np.asarray(w_ref)[:, :3, 3], atol=1e-3)
     np.testing.assert_array_equal(np.asarray(diag_spec["pnp_success"]),
                                   np.asarray(diag_ref["pnp_success"]))
+
+
+def test_landmark_hybrid_sharded_matches_unsharded(rng):
+    """The landmark-fusion hybrid sharded over the 8-device mesh must
+    reproduce the unsharded trajectory to fp32 fusion tolerance. Unlike the
+    plain hybrid (bit-exact, test above), the landmark scan body carries two
+    extra LM passes whose reduction fusions the SPMD partitioner reassociates
+    slightly (deterministic per compile, ~1e-4 over 8 chained frames); the
+    carried LandmarkState itself is constrained replicated in the body."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import _synthetic_sequence
+
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
+    from spsvo_tpu.parallel.sharding import build_online_hybrid, make_mesh
+
+    cfg = VOConfig(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                   ransac_iterations=128, max_keypoints=256,
+                   ransac_chunk=0, lm_unroll=6, solve_slots=128,
+                   landmark_fusion=True)
+    apply_fn, params = zoo.load_model(cfg.model_name_prefix)
+    frames, poses, P_l, P_r = _synthetic_sequence(rng, n_frames=8)
+    h0, w0 = frames[0][0].shape
+    P_l2 = update_projection_matrix_np(P_l, h0, w0, 120, 392)
+    P_r2 = update_projection_matrix_np(P_r, h0, w0, 120, 392)
+    imgs = np.stack([
+        np.stack([preprocess_image_np(il, 120, 392),
+                  preprocess_image_np(ir, 120, 392)])
+        for il, ir in frames])
+    args = (params, jnp.asarray(imgs), jnp.asarray(P_l2, jnp.float32),
+            jnp.asarray(P_r2, jnp.float32), jax.random.PRNGKey(0))
+    w_plain, _ = build_online_hybrid(apply_fn, cfg)(*args)
+    w_shard, _ = build_online_hybrid(apply_fn, cfg, mesh=make_mesh())(*args)
+    np.testing.assert_allclose(np.asarray(w_shard), np.asarray(w_plain),
+                               atol=5e-4)
+    gt = np.array([T[:3, 3] for T in poses])
+    assert np.abs(np.asarray(w_shard)[:, :3, 3] - gt).max() < 0.25
