@@ -181,10 +181,14 @@ class VOConfig:
     # random-walk drift. Landmark fusion carries a per-track fused 3D
     # estimate across frames (track-length-weighted average of the carried
     # landmark, transformed by the solved pose, with the fresh
-    # triangulation): the prev-side 3D that feeds the Horn hypotheses, the
-    # inlier refit and the degree>=3 LM factors has its depth noise averaged
-    # down by 1/track_length. Tracks are gated by reprojection consistency
-    # in BOTH current images and reset on pose-gate frames.
+    # triangulation): the prev-side 3D that feeds the inlier refit and the
+    # degree>=3 LM factors has its depth noise averaged down by
+    # 1/track_length (the Horn hypothesis SAMPLING also sees the fused
+    # points in the streaming path; the hybrid scan hoists it as a
+    # prior-independent phase, so there it samples fresh triangulations —
+    # ops/solver.py's landmark-fusion block). Tracks are gated by
+    # reprojection consistency in BOTH current images and reset on
+    # pose-gate frames.
     landmark_fusion: bool = False
     landmark_max_age: int = 30        # cap on the fusion weight / track length
     landmark_gate_px: float = 4.0     # max reprojection error (px) of the

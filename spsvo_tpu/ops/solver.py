@@ -170,10 +170,16 @@ def pallas_solver_eligible(cfg: VOConfig) -> bool:
     kernel requires single-batch RANSAC + trace-unrolled LM, and runs only
     on TPU (XLA solve_prepared elsewhere). Used by both solve_prepared and
     parallel.build_online_hybrid so the two paths can never diverge."""
+    import os
     single_batch = (cfg.ransac_chunk <= 0
                     or cfg.ransac_chunk >= cfg.ransac_iterations)
+    on_tpu = (jax.default_backend() == "tpu"
+              # CPU test hook: run the whole fused-solver branch (hypothesis
+              # hoisting, scan wiring, landmark carry) in Pallas interpret
+              # mode so the suite covers the branch the TPU bench runs
+              or os.environ.get("SPSVO_PALLAS_INTERPRET") == "1")
     return (cfg.use_pallas_solver and single_batch and cfg.lm_unroll > 0
-            and jax.default_backend() == "tpu")
+            and on_tpu)
 
 
 class SpeculativeSolve(NamedTuple):
@@ -408,8 +414,12 @@ def solve_prepared(key: jax.Array, prep: PreparedSolve, P_l: jax.Array,
 #
 #   * before the solve, the carried landmark (expressed in the previous
 #     left-camera frame) replaces the fresh prev-side triangulation — the
-#     Horn 3D-3D hypotheses, the winner refit and the degree>=3 LM factors
-#     see depth noise averaged down by 1/track_length;
+#     winner refit and the degree>=3 LM factors see depth noise averaged
+#     down by 1/track_length. The Horn 3D-3D hypotheses see the substituted
+#     points too in the streaming path; the hybrid scan hoists hypothesis
+#     sampling out of the scan (prior-independent phase), so THERE the
+#     hypotheses sample the fresh triangulations and only scoring, refit
+#     and LM consume the fused points (see solve_with_landmarks' `hyp`);
 #   * after the solve, the landmark is transported into the current frame
 #     with the solved pose and fused with the fresh current triangulation
 #     by a track-length-weighted running average (gated by reprojection
@@ -510,7 +520,7 @@ def solve_with_landmarks(key: jax.Array, prep: PreparedSolve,
                          lms: LandmarkState, P_l: jax.Array, P_r: jax.Array,
                          q_pred: jax.Array, t_pred: jax.Array,
                          frame_count: jax.Array, cfg: VOConfig,
-                         k_capacity: int, hyp=None
+                         k_capacity: int, hyp=None, pts_static=None
                          ) -> Tuple[SolveResult, LandmarkState]:
     """The landmark-fusion solve for one frame pair: substitute carried
     landmarks into the prev side, run the standard solve (Pallas-fused when
@@ -524,7 +534,13 @@ def solve_with_landmarks(key: jax.Array, prep: PreparedSolve,
     (solver_pallas.precompute_hypotheses on the UNsubstituted prep — seeds
     are prior- and landmark-independent, so the hybrid mode hoists them out
     of the sequential scan; scoring/refit/LM consume the substituted
-    points either way)."""
+    points either way).
+
+    `pts_static`: optional precomputed solver_pallas.pack_points(prep) on
+    the UNsubstituted prep (also hoisted frame-parallel by the hybrid):
+    only the 3 prev-side point rows and the GLS weight row depend on the
+    scan-carried landmarks, so the scan body just splices those 4 rows
+    into the hoisted (16, Lp) tile instead of re-packing all 16."""
     prep2, lane_len = substitute_landmarks(prep, lms)
     weighted = cfg.landmark_weighted_lm and cfg.refinement_degree >= 3
     weighted_in_kernel = False
@@ -532,9 +548,23 @@ def solve_with_landmarks(key: jax.Array, prep: PreparedSolve,
         from spsvo_tpu.ops import solver_pallas
         w_row = (jnp.minimum(lane_len, cfg.landmark_max_age
                              ).astype(jnp.float32) if weighted else None)
-        res = solver_pallas.fused_solve(hyp, prep2, P_l, P_r, q_pred,
-                                        t_pred, frame_count, cfg,
-                                        lane_weights=w_row)
+        if pts_static is not None:
+            Lp = pts_static.shape[1]
+            L = prep.chain.shape[0]
+            upd = prep2.pts3d_prev.T.astype(jnp.float32)       # (3, L)
+            if weighted:
+                upd = jnp.concatenate([upd, w_row[None, :]], axis=0)
+            upd = jnp.pad(upd, ((0, 0), (0, Lp - L)))
+            pts = jax.lax.dynamic_update_slice(pts_static, upd[:3], (3, 0))
+            if weighted:
+                pts = jax.lax.dynamic_update_slice(pts, upd[3:4], (15, 0))
+            res = solver_pallas.fused_solve(hyp, prep2, P_l, P_r, q_pred,
+                                            t_pred, frame_count, cfg,
+                                            pts=pts, weighted_lm=weighted)
+        else:
+            res = solver_pallas.fused_solve(hyp, prep2, P_l, P_r, q_pred,
+                                            t_pred, frame_count, cfg,
+                                            lane_weights=w_row)
         weighted_in_kernel = weighted
     else:
         res = solve_prepared(key, prep2, P_l, P_r, q_pred, t_pred,

@@ -260,7 +260,7 @@ def _lm_iterations(q, t, rows, mask_row, Pl, Pr, *, degree, delta, iters,
     IRLS-Huber, Cholesky 6x6 step, boxplus update, accept/damping logic,
     revert-on-non-improvement. `lw_row` = optional GLS weights for the
     backward factors (lm.refine_pose's inv_factor_weights).
-    Returns (q, t, improved)."""
+    Returns (q, t, final_cost, initial_cost, improved)."""
     masks = _factor_masks(mask_row, lw_row, degree)
     c0 = _huber_cost(_factor_residuals(q, t, rows, Pl, Pr, degree),
                      masks, delta)
@@ -554,20 +554,37 @@ def pack_points(prep: PreparedSolve,
 def fused_solve(hyp: FusedHypotheses, prep: PreparedSolve, P_l: jax.Array,
                 P_r: jax.Array, q_pred: jax.Array, t_pred: jax.Array,
                 frame_count: jax.Array, cfg: VOConfig,
-                interpret: bool = False,
+                interpret: bool | None = None,
                 pts: jax.Array | None = None,
-                lane_weights: jax.Array | None = None) -> SolveResult:
+                lane_weights: jax.Array | None = None,
+                weighted_lm: bool | None = None) -> SolveResult:
     """One-kernel replacement for solver.solve_prepared's prior-dependent
     core (single-batch RANSAC + unrolled-LM configuration required).
 
     `pts` — optionally a precomputed `pack_points(prep)` result, so scan
     bodies don't re-pack per frame. `lane_weights` — GLS track-length row
     (landmark fusion): runs the weighted LM re-refinement as a second
-    in-kernel pass instead of the XLA pass in solve_with_landmarks."""
+    in-kernel pass instead of the XLA pass in solve_with_landmarks.
+    `weighted_lm` — None infers from `lane_weights`; pass True explicitly
+    when the weight row was already packed into a precomputed `pts`
+    (row 15 — the landmark hybrid's hoisted-packing path).
+    `interpret` — None resolves to SPSVO_PALLAS_INTERPRET=1 (the CPU
+    test hook that lets the whole fused-solver branch run off-TPU)."""
+    if interpret is None:
+        import os
+        interpret = os.environ.get("SPSVO_PALLAS_INTERPRET") == "1"
     if cfg.lm_unroll <= 0:
         raise ValueError("fused_solve requires cfg.lm_unroll > 0 "
                          "(trace-unrolled LM, the sequential-path tuning)")
     L = prep.chain.shape[0]
+    if pts is not None and lane_weights is not None:
+        raise ValueError(
+            "pass lane_weights via pack_points(prep, lane_weights) (or pack "
+            "them into pts row 15 yourself and set weighted_lm=True), not "
+            "alongside a precomputed pts: a pts packed without them would "
+            "run the weighted LM pass with all-zero weights")
+    if weighted_lm is None:
+        weighted_lm = lane_weights is not None
     if pts is None:
         pts = pack_points(prep, lane_weights)
     Lp = pts.shape[1]
@@ -592,7 +609,7 @@ def fused_solve(hyp: FusedHypotheses, prep: PreparedSolve, P_l: jax.Array,
         degree=int(cfg.refinement_degree),
         lm_iters=int(cfg.lm_unroll),
         polish_iters=int(min(cfg.lm_unroll, 4)),
-        weighted_lm=lane_weights is not None)
+        weighted_lm=weighted_lm)
 
     out, inl = pl.pallas_call(
         kernel,

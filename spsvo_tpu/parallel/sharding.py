@@ -348,20 +348,24 @@ def build_online_hybrid(apply_fn, cfg: VOConfig, mesh: Optional[Mesh] = None,
             k_cap = kp_l.xy.shape[1]
 
             if pallas_solver:
-                # hypothesis seeds are prior- AND landmark-independent:
-                # precompute them frame-parallel so the scan body is the
-                # substitution + ONE fused kernel + the fusion update
-                from spsvo_tpu.ops.solver_pallas import precompute_hypotheses
+                # hypothesis seeds AND 12 of the 16 point-tile rows are
+                # prior- and landmark-independent: precompute both
+                # frame-parallel so the scan body is the substitution, a
+                # 4-row splice into the hoisted tile, ONE fused kernel and
+                # the fusion update
+                from spsvo_tpu.ops.solver_pallas import (pack_points,
+                                                         precompute_hypotheses)
                 hyps = shard_frames(jax.vmap(
                     lambda k, p: precompute_hypotheses(k, p, cfg)
                 )(keys, preps))
+                ptss = shard_frames(jax.vmap(pack_points)(preps))
 
                 def body(carry, xs):
                     q_pred, t_pred, fc, lms = carry
-                    prep, k, hyp = xs
+                    prep, k, hyp, pts = xs
                     res, lms2 = solve_with_landmarks(
                         k, prep, lms, P_l, P_r, q_pred, t_pred, fc, cfg,
-                        k_capacity=k_cap, hyp=hyp)
+                        k_capacity=k_cap, hyp=hyp, pts_static=pts)
                     # the per-track landmark carry must stay replicated: the
                     # SPMD partitioner is otherwise free to shard it over the
                     # mesh, turning the fusion update's reductions into
@@ -371,7 +375,7 @@ def build_online_hybrid(apply_fn, cfg: VOConfig, mesh: Optional[Mesh] = None,
                              replicate(lms2)),
                             (res.q, res.t, diag_of(res)))
 
-                xs = (preps, keys, hyps)
+                xs = (preps, keys, hyps, ptss)
             else:
                 def body(carry, xs):
                     q_pred, t_pred, fc, lms = carry

@@ -50,6 +50,12 @@ def cmd_eval(args) -> int:
         print("--mode classic is for classic configs; CNN configs use "
               "--mode hybrid/batch", file=sys.stderr)
         return 2
+    if cfg.landmark_fusion and args.mode not in ("frame", "hybrid"):
+        print("--landmark-fusion needs the sequential prior chain: use "
+              "--mode frame or --mode hybrid (the batch/classic modes "
+              "solve frames independently and would silently ignore it)",
+              file=sys.stderr)
+        return 2
     # fused modes build their own device program from cfg — constructing the
     # per-frame pipeline here would load the model twice for nothing
     vo = _build_vo(cfg) if args.mode == "frame" else None

@@ -190,6 +190,17 @@ def test_cli_requires_data_source(capsys):
     assert rc == 2
 
 
+def test_cli_landmark_fusion_rejects_independent_modes(capsys):
+    """--landmark-fusion needs the sequential prior chain; the batch and
+    classic modes solve frames independently and would silently produce
+    baseline (re-triangulating) results mislabeled as a landmark run."""
+    from spsvo_tpu import run as run_mod
+    rc = run_mod.main(["--mode", "batch", "--landmark-fusion",
+                       "--sample-images"])
+    assert rc == 2
+    assert "landmark-fusion" in capsys.readouterr().err
+
+
 @pytest.mark.slow
 def test_run_sweep_accuracy_columns(tmp_path):
     """With ground-truth poses, sweep rows carry ATE/drift/RPE next to FPS

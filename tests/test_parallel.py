@@ -330,7 +330,6 @@ def test_landmark_hybrid_sharded_matches_unsharded(rng):
     extra LM passes whose reduction fusions the SPMD partitioner reassociates
     slightly (deterministic per compile, ~1e-4 over 8 chained frames); the
     carried LandmarkState itself is constrained replicated in the body."""
-    import dataclasses
     import sys
     sys.path.insert(0, os.path.dirname(__file__))
     from test_pipeline import _synthetic_sequence
@@ -360,3 +359,58 @@ def test_landmark_hybrid_sharded_matches_unsharded(rng):
                                atol=5e-4)
     gt = np.array([T[:3, 3] for T in poses])
     assert np.abs(np.asarray(w_shard)[:, :3, 3] - gt).max() < 0.25
+
+
+@pytest.mark.slow
+def test_landmark_hybrid_pallas_branch_matches_xla(rng, monkeypatch):
+    """End-to-end coverage of the FUSED-KERNEL landmark-hybrid branch —
+    hypothesis hoisting, in-scan fused_solve with the GLS weight row, the
+    replicated fusion carry, k_capacity mask scatter — which otherwise only
+    the real-TPU bench exercises (conftest forces CPU, where
+    pallas_solver_eligible is normally False). SPSVO_PALLAS_INTERPRET=1 runs
+    the kernel in Pallas interpret mode on CPU; the trajectory must match
+    the XLA landmark hybrid. NOTE an exact match is not expected on frames
+    where hypothesis SAMPLING decides the winner: the hybrid's hoisted
+    hypotheses sample unsubstituted triangulations in both paths here, so
+    the remaining delta is kernel-vs-XLA arithmetic only (~1e-5/frame,
+    pinned tighter in tests/test_pallas_kernels.py)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_pipeline import _synthetic_sequence
+
+    from spsvo_tpu.ops.image import (preprocess_image_np,
+                                     update_projection_matrix_np)
+    from spsvo_tpu.parallel.sharding import build_online_hybrid
+
+    base = dict(model_name_prefix="sp_mbv1", conf_thresh=0.005,
+                ransac_iterations=64, max_keypoints=256,
+                ransac_chunk=0, lm_unroll=6, solve_slots=128,
+                landmark_fusion=True)
+    apply_fn, params = zoo.load_model("sp_mbv1")
+    frames, poses, P_l, P_r = _synthetic_sequence(rng, n_frames=6)
+    h0, w0 = frames[0][0].shape
+    P_l2 = update_projection_matrix_np(P_l, h0, w0, 120, 392)
+    P_r2 = update_projection_matrix_np(P_r, h0, w0, 120, 392)
+    imgs = np.stack([
+        np.stack([preprocess_image_np(il, 120, 392),
+                  preprocess_image_np(ir, 120, 392)])
+        for il, ir in frames])
+    args = (params, jnp.asarray(imgs), jnp.asarray(P_l2, jnp.float32),
+            jnp.asarray(P_r2, jnp.float32), jax.random.PRNGKey(0))
+
+    w_xla, diag_xla = build_online_hybrid(
+        apply_fn, VOConfig(**base))(*args)
+    w_xla = np.asarray(w_xla)
+
+    monkeypatch.setenv("SPSVO_PALLAS_INTERPRET", "1")
+    from spsvo_tpu.ops.solver import pallas_solver_eligible
+    cfg_k = VOConfig(use_pallas_solver=True, **base)
+    assert pallas_solver_eligible(cfg_k)
+    w_kernel, diag_k = build_online_hybrid(apply_fn, cfg_k)(*args)
+    w_kernel = np.asarray(w_kernel)
+
+    np.testing.assert_allclose(w_kernel, w_xla, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(diag_k["pnp_success"]),
+                                  np.asarray(diag_xla["pnp_success"]))
+    gt = np.array([T[:3, 3] for T in poses])
+    assert np.abs(w_kernel[:, :3, 3] - gt).max() < 0.25
