@@ -127,12 +127,15 @@ def _load_sample_frames(cfg):
     return frames, P_l2, P_r2
 
 
-def _drift_str(fn, args, gt_poses) -> str:
+def _drift_str(world, gt_poses) -> str:
     """Accuracy column for a precision-variant aux row: final drift on the
-    real-geometry workload (the precision's cost next to its FPS win)."""
+    real-geometry workload (the precision's cost next to its FPS win).
+    `world` is the trajectory already fetched by the measurement loop —
+    re-running the program just to score it would add a whole-sequence
+    dispatch per aux row on the RTT-bound tunnel."""
     try:
         from spsvo_tpu.eval.synthetic import score_trajectory
-        world = np.asarray(fn(*args)[0])
+        world = np.asarray(world)
         acc = score_trajectory([world[i] for i in range(len(world))],
                                [gt_poses[i] for i in range(len(gt_poses))])
         return (f"(corridor drift {acc['final_drift_percent']:.2f}%, "
@@ -145,14 +148,14 @@ def _measure(fn, args, n_frames, reps=3):
     out = fn(*args)
     np.asarray(out[0])  # compile+run; host fetch is the only reliable sync
     best = float("inf")
-    diags = None
+    diags = world = None
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        np.asarray(out[0])
+        world = np.asarray(out[0])
         best = min(best, time.perf_counter() - t0)
         diags = out[1]
-    return n_frames / best, diags
+    return n_frames / best, diags, world
 
 
 def _measure_pipelined(fn, args, n_frames, depth=4, reps=3):
@@ -165,14 +168,14 @@ def _measure_pipelined(fn, args, n_frames, depth=4, reps=3):
     out = fn(*args)
     np.asarray(out[0])
     best = float("inf")
-    diags = None
+    diags = world = None
     for _ in range(reps):
         t0 = time.perf_counter()
         outs = [fn(*args) for _ in range(depth)]
-        np.asarray(outs[-1][0])
+        world = np.asarray(outs[-1][0])
         best = min(best, (time.perf_counter() - t0) / depth)
         diags = outs[-1][1]
-    return n_frames / best, diags
+    return n_frames / best, diags, world
 
 
 def main():
@@ -214,14 +217,14 @@ def main():
     t0 = time.perf_counter()
     hyb_fn = build_online_hybrid(apply_fn, cfg_seq)
     args_h = (params, images, P_l_j, P_r_j, key)
-    fps, diags = _measure_pipelined(hyb_fn, args_h, N_FRAMES)
+    fps, diags, world_h = _measure_pipelined(hyb_fn, args_h, N_FRAMES)
     log(f"ONLINE-hybrid fp32 (sustained, headline): {fps:.1f} FPS "
         f"(compile+reps {time.perf_counter()-t0:.0f}s, "
         f"mean inliers {np.asarray(diags['num_inliers']).mean():.0f})")
     # behavioral stats on the real-geometry workload (VERDICT r2 weak #1)
     try:
         from spsvo_tpu.eval.synthetic import score_trajectory
-        world = np.asarray(hyb_fn(*args_h)[0])
+        world = world_h
         acc = score_trajectory([world[i] for i in range(len(world))],
                                [gt_poses[i] for i in range(len(gt_poses))])
         pw = diags.get("prior_winner")
@@ -232,14 +235,14 @@ def main():
                if pw_pct is not None else ""))
     except Exception as e:
         log(f"corridor accuracy aux failed: {e}")
-    fps_1call, _ = _measure(hyb_fn, args_h, N_FRAMES, reps=3)
+    fps_1call, _, _ = _measure(hyb_fn, args_h, N_FRAMES, reps=3)
     log(f"online-hybrid fp32 (single call incl. tunnel RTT): "
         f"{fps_1call:.1f} FPS")
 
     # ---- aux: legacy sample-image workload (constant-disparity stereo) ----
     try:
         sf, sP_l, sP_r = _load_sample_frames(cfg)
-        fps_s, diags_s = _measure_pipelined(
+        fps_s, diags_s, _ = _measure_pipelined(
             hyb_fn, (params, jnp.asarray(sf), jnp.asarray(sP_l, jnp.float32),
                      jnp.asarray(sP_r, jnp.float32), key), N_FRAMES)
         log(f"online-hybrid fp32 on legacy sample-image workload: "
@@ -252,7 +255,7 @@ def main():
     try:
         t0 = time.perf_counter()
         batch_fn = build_batch_vo(apply_fn, cfg, mesh)
-        fps_b, diags_b = _measure_pipelined(
+        fps_b, diags_b, _ = _measure_pipelined(
             batch_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES)
         log(f"throughput fp32 (sustained): {fps_b:.1f} FPS "
             f"(compile+reps {time.perf_counter()-t0:.0f}s, "
@@ -269,7 +272,7 @@ def main():
         cfg_par = dataclasses.replace(cfg, ransac_iterations=500,
                                       max_keypoints=1024, solve_slots=1024)
         par_fn = build_batch_vo(apply_fn, cfg_par, mesh)
-        fps_par, diags_par = _measure(
+        fps_par, diags_par, _ = _measure(
             par_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES, reps=3)
         log(f"throughput fp32 parity(ransac500,K1024): {fps_par:.1f} FPS "
             f"(mean inliers {np.asarray(diags_par['num_inliers']).mean():.0f})")
@@ -278,7 +281,7 @@ def main():
         cfg_par_on = dataclasses.replace(
             cfg_par, ransac_chunk=0, lm_unroll=6, use_pallas_solver=True)
         par_on = build_online_hybrid(apply_fn, cfg_par_on)
-        fps_po, diags_po = _measure_pipelined(
+        fps_po, diags_po, _ = _measure_pipelined(
             par_on, (params, images, P_l_j, P_r_j, key), N_FRAMES)
         log(f"ONLINE-hybrid fp32 parity(ransac500,K1024,slots1024): "
             f"{fps_po:.1f} FPS "
@@ -289,7 +292,7 @@ def main():
     # ---- aux: strict per-frame sequential scan (whole step in the scan) ---
     try:
         seq_fn = build_sequence_scan(apply_fn, cfg_seq)
-        fps_online, _ = _measure(
+        fps_online, _, _ = _measure(
             seq_fn, (params, images, P_l_j, P_r_j, key), N_FRAMES, reps=2)
         log(f"online-sequential fp32: {fps_online:.1f} FPS")
     except Exception as e:
@@ -300,16 +303,15 @@ def main():
         cfg16 = dataclasses.replace(cfg, precision=Precision.BF16)
         apply16, params16 = zoo.load_model(cfg.model_name_prefix, jnp.bfloat16)
         b16 = build_batch_vo(apply16, cfg16, mesh)
-        fps16, _ = _measure_pipelined(
+        fps16, _, _ = _measure_pipelined(
             b16, (params16, images, P_l_j, P_r_j, key), N_FRAMES)
         log(f"throughput bf16 (sustained): {fps16:.1f} FPS")
         h16 = build_online_hybrid(
             apply16, dataclasses.replace(cfg_seq, precision=Precision.BF16))
-        fps_h16, _ = _measure_pipelined(
+        fps_h16, _, w16 = _measure_pipelined(
             h16, (params16, images, P_l_j, P_r_j, key), N_FRAMES)
         log(f"online-hybrid bf16 (sustained): {fps_h16:.1f} FPS "
-            + _drift_str(h16, (params16, images, P_l_j, P_r_j, key),
-                         gt_poses))
+            + _drift_str(w16, gt_poses))
     except Exception as e:
         log(f"bf16 aux run failed: {e}")
 
@@ -321,15 +323,15 @@ def main():
                                          int8_calibration=calib)
         cfg8 = dataclasses.replace(cfg, precision=Precision.INT8)
         b8 = build_batch_vo(apply8, cfg8, mesh)
-        fps8, _ = _measure_pipelined(
+        fps8, _, _ = _measure_pipelined(
             b8, (params8, images, P_l_j, P_r_j, key), N_FRAMES)
         log(f"throughput int8 static-calibrated (sustained): {fps8:.1f} FPS")
         h8 = build_online_hybrid(
             apply8, dataclasses.replace(cfg_seq, precision=Precision.INT8))
-        fps_h8, _ = _measure_pipelined(
+        fps_h8, _, w8 = _measure_pipelined(
             h8, (params8, images, P_l_j, P_r_j, key), N_FRAMES)
         log(f"online-hybrid int8 (sustained): {fps_h8:.1f} FPS "
-            + _drift_str(h8, (params8, images, P_l_j, P_r_j, key), gt_poses))
+            + _drift_str(w8, gt_poses))
     except Exception as e:
         log(f"int8 aux run failed: {e}")
 
@@ -340,11 +342,11 @@ def main():
     try:
         cfg_lm = dataclasses.replace(cfg_seq, landmark_fusion=True)
         hlm = build_online_hybrid(apply_fn, cfg_lm)
-        fps_lm, diags_lm = _measure_pipelined(hlm, args_h, N_FRAMES)
+        fps_lm, diags_lm, w_lm = _measure_pipelined(hlm, args_h, N_FRAMES)
         log(f"online-hybrid fp32 + landmark fusion (sustained): "
             f"{fps_lm:.1f} FPS "
             f"(mean inliers {np.asarray(diags_lm['num_inliers']).mean():.0f}) "
-            + _drift_str(hlm, args_h, gt_poses))
+            + _drift_str(w_lm, gt_poses))
     except Exception as e:
         log(f"landmark aux run failed: {e}")
 
@@ -357,12 +359,13 @@ def main():
                                       precision=Precision.INT8)
         hlm8 = build_online_hybrid(apply8, cfg_lm8)
         args_lm8 = (params8, images, P_l_j, P_r_j, key)
-        fps_lm8, diags_lm8 = _measure_pipelined(hlm8, args_lm8, N_FRAMES)
+        fps_lm8, diags_lm8, w_lm8 = _measure_pipelined(hlm8, args_lm8,
+                                                       N_FRAMES)
         log(f"online-hybrid int8 + landmark fusion (sustained): "
             f"{fps_lm8:.1f} FPS "
             f"(mean inliers "
             f"{np.asarray(diags_lm8['num_inliers']).mean():.0f}) "
-            + _drift_str(hlm8, args_lm8, gt_poses))
+            + _drift_str(w_lm8, gt_poses))
     except Exception as e:
         log(f"int8+landmark aux run failed: {e}")
 

@@ -69,7 +69,8 @@ def synthetic_training_frames(seed: int = 0, n_corridor: int = 24,
     cache_dir = os.path.expanduser("~/.cache/spsvo_tpu")
     os.makedirs(cache_dir, exist_ok=True)
     cache = os.path.join(
-        cache_dir, f"distill_synth_v2_{seed}_{n_corridor}_{n_drive}.npz")
+        cache_dir,
+        f"distill_synth_v2_{seed}_{n_corridor}_{n_drive}_{h}x{w}.npz")
     if os.path.exists(cache):
         return np.load(cache)["frames"]
     out = []

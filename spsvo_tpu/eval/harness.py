@@ -160,13 +160,13 @@ def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
     prev_xy: Optional[np.ndarray] = None
     for i, (il, ir) in enumerate(frames):
         t0 = time.perf_counter()
+        d = None
         if instrument_stages:
             T, info = vo.process_instrumented(il, ir, P_l, P_r)
             total = info["stages_ms"]["total"]
             latencies.append(dict(info["stages_ms"]))
-            if verbose:
-                diags.append({k: np.asarray(v).item() for k, v in
-                              info["output"].diagnostics.items()})
+            d = {k: np.asarray(v).item() for k, v in
+                 info["output"].diagnostics.items()}
         else:
             T, info = vo.process(il, ir, P_l, P_r,
                                  want_diagnostics=want_diag)
@@ -174,12 +174,15 @@ def run_sequence(vo, frames: Iterable[Tuple[np.ndarray, np.ndarray]],
             # fused single program: stage split not observable per frame
             latencies.append({"detect": 0.0, "match": 0.0, "solve": 0.0,
                               "total": total})
-            if verbose:
-                diags.append({k: v for k, v in info.items()
-                              if k != "output"})
+            if want_diag:
+                d = {k: v for k, v in info.items() if k != "output"}
+        if verbose and d is not None:
+            diags.append(d)
         guards.check_latency(total, frame=i)
-        if diags:
-            d = diags[-1]
+        # starvation guards run on EVERY frame whose diagnostics were
+        # fetched (verbose, instrument_stages or viz_dir), not only when
+        # they are also recorded in the result
+        if d is not None:
             _feed_guards(guards, d, first_frame=(i == 0), frame=i,
                          solve_slots=vo.cfg.solve_slots)
         if viz_dir is not None and "output" in info:
@@ -296,7 +299,10 @@ def run_sequence_fused(cfg: VOConfig,
     elapsed = time.perf_counter() - t0
 
     n = world.shape[0]
-    per_frame_ms = elapsed / n * 1000.0
+    # amortize over the frames the device actually processed (mesh padding
+    # does real compute) — dividing by n_real would inflate the per-frame
+    # cost by up to (devices-1)/n_real on non-divisible sequences
+    per_frame_ms = elapsed / imgs.shape[0] * 1000.0
     poses = [world[i] for i in range(n)]
     latencies = [{"detect": 0.0, "match": 0.0, "solve": 0.0,
                   "total": per_frame_ms} for _ in range(n)]
@@ -379,7 +385,8 @@ def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
                 latency_dir: str = "kitti_latency_csvs",
                 description: str = "default",
                 max_frames: Optional[int] = None,
-                mode: str = "frame") -> SequenceResult:
+                mode: str = "frame",
+                viz_dir: Optional[str] = None) -> SequenceResult:
     """The reference's action-goal entry point (kitti_eval_id 0..13).
 
     Requires the KITTI odometry layout under `kitti_root` with sequences
@@ -397,6 +404,9 @@ def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
         kitti_root, f"{kitti_eval_id:02d}", start=start,
         end=None if end >= 2**31 - 1 else end + 1)
     if mode != "frame":
+        if viz_dir is not None:
+            raise ValueError("viz_dir streams the per-frame image topics "
+                             "and needs mode='frame'")
         cfg = vo if isinstance(vo, VOConfig) else vo.cfg
         return run_sequence_fused(
             cfg, iter(seq), seq.P_l, seq.P_r, mode=mode,
@@ -405,7 +415,8 @@ def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
     return run_sequence(
         vo, iter(seq), seq.P_l, seq.P_r, results_dir=results_dir,
         description=description, kitti_eval_id=kitti_eval_id,
-        latency_dir=latency_dir, sequence_tag=f"seq_{kitti_eval_id}")
+        latency_dir=latency_dir, sequence_tag=f"seq_{kitti_eval_id}",
+        viz_dir=viz_dir)
 
 
 def score_against_ground_truth(poses: List[np.ndarray], gt_file: str

@@ -81,19 +81,34 @@ def make_extractor(descriptor_type: DescriptorType):
     raise ValueError(f"descriptor {descriptor_type} not implemented")
 
 
-def _pack_features_np(kps, descs, k: int, binary: bool, desc_dim: int):
+# descriptor widths in BITS for binary descriptors, floats otherwise
+DESC_DIMS = {"ORB": 256, "BRISK": 512, "BRIEF": 256, "AKAZE": 488,
+             "FREAK": 512, "SIFT": 128, "SuperPoint": 256}
+
+
+def _pack_features_np(kps, descs, k: int, binary: bool, desc_dim: int,
+                      packed: bool = False):
     """Pad host features into the fixed-capacity layout (numpy leaves).
 
     Over-capacity truncation keeps the STRONGEST keypoints by response —
     detectors like FAST return scan order, and naive first-K truncation
     would keep only the top image band (degenerate geometry downstream).
     Mirrors cv::KeyPointsFilter::retainBest semantics.
+
+    `packed=True` keeps binary descriptors as raw uint8 BYTES
+    (k, desc_dim//8) for the host->device feed — 32x less tunnel traffic
+    than {0,1} float bit-vectors; they unpack on device
+    (`unpack_binary_desc`). Default unpacks to float bits host-side (the
+    per-frame path, where the descriptors join a device pytree directly).
     """
     n = min(len(kps), k)
     xy = np.zeros((k, 2), np.float32)
     score = np.zeros((k,), np.float32)
     valid = np.zeros((k,), bool)
-    d = np.zeros((k, desc_dim), np.float32)
+    if binary and packed:
+        d = np.zeros((k, desc_dim // 8), np.uint8)
+    else:
+        d = np.zeros((k, desc_dim), np.float32)
     if len(kps) > k:
         order = np.argsort([-kp.response for kp in kps], kind="stable")[:k]
         kps = [kps[i] for i in order]
@@ -103,7 +118,9 @@ def _pack_features_np(kps, descs, k: int, binary: bool, desc_dim: int):
         score[:n] = np.array([kp.response for kp in kps[:n]], np.float32)
         valid[:n] = True
         dd = descs[:n]
-        if binary:
+        if binary and packed:
+            d[:n, :dd.shape[1]] = dd.astype(np.uint8)
+        elif binary:
             bits = np.unpackbits(dd.astype(np.uint8), axis=1)
             d[:n, :bits.shape[1]] = bits.astype(np.float32)
         else:
@@ -131,10 +148,7 @@ class ClassicVisualOdometry:
         self.detector = make_detector(cfg.detector_type)
         self.extractor = make_extractor(cfg.descriptor_type)
         self.binary = cfg.descriptor_type.is_binary
-        # descriptor width: bits for binary (bytes*8), floats otherwise
-        probe = {"ORB": 256, "BRISK": 512, "BRIEF": 256, "AKAZE": 488,
-                 "FREAK": 512, "SIFT": 128, "SuperPoint": 256}
-        self.desc_dim = probe[cfg.descriptor_type.value]
+        self.desc_dim = DESC_DIMS[cfg.descriptor_type.value]
         self._key = jax.random.PRNGKey(seed)
         self._step = jax.jit(functools.partial(
             features_step, cfg=cfg, binary_desc=self.binary))
@@ -224,9 +238,7 @@ def detect_all_frames(cfg: VOConfig, frames, n_threads: int = 0):
         n_threads = min(8, os.cpu_count() or 1)
 
     binary = cfg.descriptor_type.is_binary
-    probe = {"ORB": 256, "BRISK": 512, "BRIEF": 256, "AKAZE": 488,
-             "FREAK": 512, "SIFT": 128, "SuperPoint": 256}
-    desc_dim = probe[cfg.descriptor_type.value]
+    desc_dim = DESC_DIMS[cfg.descriptor_type.value]
     frames = list(frames)
     # cv2 algorithm instances are not documented thread-safe; the factories
     # are cheap, so each worker thread gets its own pair
@@ -251,34 +263,11 @@ def detect_all_frames(cfg: VOConfig, frames, n_threads: int = 0):
         if descs is None or len(kps) == 0:
             descs = np.zeros((0, desc_dim // 8 if binary else desc_dim),
                              descs.dtype if descs is not None else np.uint8)
-        import cv2
-        pts = cv2.KeyPoint_convert(kps).reshape(-1, 2).astype(np.float32)
-        resp = np.fromiter((p.response for p in kps), np.float32, len(kps))
-        n_kp = len(kps)
-        if n_kp > k:
-            order = np.argsort(-resp, kind="stable")[:k]
-            pts, resp, descs = pts[order], resp[order], descs[order]
-            n_kp = k
-        xy = np.zeros((k, 2), np.float32)
-        score = np.zeros((k,), np.float32)
-        valid = np.zeros((k,), bool)
-        if binary:
-            # keep descriptors PACKED (uint8 bytes): 32x less host->device
-            # traffic than {0,1} float bit-vectors; bits unpack on device
-            # (unpack_binary_desc). Dominated the tunnel otherwise.
-            d = np.zeros((k, desc_dim // 8), np.uint8)
-        else:
-            d = np.zeros((k, desc_dim), np.float32)
-        if n_kp:
-            xy[:n_kp] = pts[:n_kp]
-            score[:n_kp] = resp[:n_kp]
-            valid[:n_kp] = True
-            dd = descs[:n_kp]
-            if binary:
-                d[:n_kp, :dd.shape[1]] = dd.astype(np.uint8)
-            else:
-                d[:n_kp, :dd.shape[1]] = dd.astype(np.float32)
-        return xy, score, valid, d
+        # packed=True keeps binary descriptors as uint8 BYTES for the
+        # host->device feed (they unpack on device); same retain-best
+        # truncation/padding as the per-frame path
+        return _pack_features_np(kps, descs, k, binary, desc_dim,
+                                 packed=True)
 
     flat = [im for (il, ir) in frames for im in (il, ir)]
     if n_threads <= 1:

@@ -328,6 +328,11 @@ def extract_keypoints(det: jax.Array, desc: jax.Array, *, k: int,
     xy, score, valid = select_topk(suppressed, k, conf_thresh, border,
                                    post_nms_radius=nms_radius)
     if subpixel:
+        if subpixel not in (True, "axis", "quad"):
+            raise ValueError(
+                f"subpixel_refine={subpixel!r}: expected False, True/'axis' "
+                "(per-axis parabolas) or 'quad' (coupled 2D quadratic) — "
+                "refusing to silently fall back to the per-axis refiner")
         # refine on the PRE-threshold heatmap: sub-threshold neighbours must
         # contribute their true scores or the parabola vertex is biased
         # toward the clamp for winners near conf_thresh

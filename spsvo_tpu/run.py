@@ -89,11 +89,15 @@ def cmd_eval(args) -> int:
     if args.kitti_root is None:
         print("need --kitti-root or --sample-images", file=sys.stderr)
         return 2
+    if args.viz_dir is not None and args.mode != "frame":
+        print("--viz-dir streams per-frame image topics: use --mode frame",
+              file=sys.stderr)
+        return 2
     res = harness.run_eval_id(
         vo if args.mode == "frame" else cfg,
         args.kitti_root, args.eval_id, results_dir=args.results_dir,
         latency_dir=args.latency_dir, description=args.description,
-        max_frames=args.max_frames, mode=args.mode)
+        max_frames=args.max_frames, mode=args.mode, viz_dir=args.viz_dir)
     print(f"seq {args.eval_id}: {len(res.poses)} frames, "
           f"{res.fps:.1f} FPS")
     if args.ground_truth:

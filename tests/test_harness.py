@@ -82,6 +82,28 @@ def test_run_sequence_guards_flag_starvation(capsys):
     assert gs["latency"] == 0
 
 
+def test_run_sequence_guards_fed_without_verbose(tmp_path):
+    """Starvation guards must run whenever diagnostics are FETCHED (viz_dir
+    implies the fetch), not only when verbose also records them in the
+    result (review finding: the guards were silently skipped for
+    viz_dir/instrument_stages runs without verbose)."""
+    class _StarvingVO(_StubVO):
+        def process(self, il, ir, P_l, P_r, want_diagnostics=False):
+            T, info = super().process(il, ir, P_l, P_r, want_diagnostics)
+            if want_diagnostics:
+                info.update(num_keypoints_left=3, num_keypoints_right=40,
+                            num_stereo_matches=2, num_interframe_matches=50)
+            return T, info
+
+    vo = _StarvingVO()
+    P = np.eye(3, 4)
+    res = harness.run_sequence(vo, _frames(4), P, P, verbose=False,
+                               viz_dir=str(tmp_path / "viz"))
+    assert res.guards_summary["descriptors"] == 4
+    assert res.guards_summary["matches"] == 4
+    assert res.diagnostics == []  # recorded diags remain verbose-only
+
+
 def test_run_sequence_guards_quiet_when_healthy():
     vo = _StubVO()
     P = np.eye(3, 4)
