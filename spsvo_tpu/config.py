@@ -111,6 +111,19 @@ class VOConfig:
     matcher_type: MatcherType = MatcherType.BF
     selector_type: SelectorType = SelectorType.NN
     cross_check: bool = True
+    # --- device-resident classic front end (beyond-reference) ----------------
+    # The reference's classic detectors run host OpenCV
+    # (feature_detection_classic.cpp); device_classic=True replaces them with
+    # the TPU-native ORB-class front end (ops/orb.py: FAST-9 + intensity-
+    # centroid orientation + steered BRIEF) so the classic pipeline becomes
+    # one fused device program like the SuperPoint path. Requires
+    # is_classic=True; the orb_* knobs mirror the reference's ORB_create
+    # parameters (feature_detection_classic.cpp:13-25).
+    device_classic: bool = False
+    orb_n_levels: int = 8
+    orb_scale_factor: float = 1.2
+    orb_fast_threshold: int = 20
+    orb_edge_threshold: int = 31
 
     # --- geometry / solver ---------------------------------------------------
     stereo_threshold: float = 2.0     # max |Δy| for a stereo match (px)
@@ -227,6 +240,8 @@ class VOConfig:
                     f"(got {self.image_height}x{self.image_width})")
         if self.model_batch_size not in (1, 2):
             raise ValueError("model_batch_size must be 1 or 2")
+        if self.device_classic and not self.is_classic:
+            raise ValueError("device_classic requires is_classic=True")
         if not 0 <= self.refinement_degree <= 4:
             raise ValueError("refinement_degree must be in [0, 4]")
 
@@ -257,7 +272,8 @@ class VOConfig:
         contract {prefix}_{batch}_{H}_{W}_{precision}
         (reference feature_detection_neural_network.cpp:44-49)."""
         if self.is_classic:
-            return (f"classic_{self.detector_type.value}_"
+            host = "orbtpu" if self.device_classic else "classic"
+            return (f"{host}_{self.detector_type.value}_"
                     f"{self.descriptor_type.value}_{self.image_height}_"
                     f"{self.image_width}")
         return (f"{self.model_name_prefix}_{self.model_batch_size}_"

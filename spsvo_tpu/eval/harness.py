@@ -227,6 +227,9 @@ def run_sequence_fused(cfg: VOConfig,
     matching + geometry run as one `build_feature_hybrid` device program —
     the classic path's honest-throughput mode (detect wall time included in
     the reported FPS).
+    mode="orb":    `parallel.build_orb_hybrid` — the TPU-native ORB front
+    end (ops/orb.py) runs IN the device program (device_classic=True): the
+    classic pipeline with zero host work per frame.
 
     Raw frames are preprocessed host-side (crop+resize+P-update, the C3
     contract) and shipped once; the whole sequence runs as one device
@@ -242,11 +245,13 @@ def run_sequence_fused(cfg: VOConfig,
                                      update_projection_matrix_np)
     from spsvo_tpu.parallel import sharding
 
-    if cfg.is_classic != (mode == "classic"):
+    if cfg.is_classic != (mode in ("classic", "orb")):
         raise ValueError(
-            "mode='classic' is the fused mode for classic configs; CNN "
-            "configs use mode='hybrid'/'batch' (got "
+            "mode='classic'/'orb' are the fused modes for classic configs; "
+            "CNN configs use mode='hybrid'/'batch' (got "
             f"mode={mode!r}, is_classic={cfg.is_classic})")
+    if mode == "orb" and not cfg.device_classic:
+        raise ValueError("mode='orb' requires cfg.device_classic=True")
     frames = list(frames)
     n_real = len(frames)
     if n_real < 2:
@@ -267,12 +272,21 @@ def run_sequence_fused(cfg: VOConfig,
                                preprocess_image_np(ir, h, w)])
                      for il, ir in frames])
 
-    dtype = (jnp.bfloat16 if cfg.precision == Precision.BF16
-             else jnp.float32)
-    apply_fn, params = zoo.load_model(
-        cfg.model_name_prefix, dtype,
-        int8=(cfg.precision == Precision.INT8))
-    if mode == "hybrid":
+    if mode == "orb":
+        apply_fn = params = None    # no CNN: the front end is ops/orb.py
+    else:
+        dtype = (jnp.bfloat16 if cfg.precision == Precision.BF16
+                 else jnp.float32)
+        apply_fn, params = zoo.load_model(
+            cfg.model_name_prefix, dtype,
+            int8=(cfg.precision == Precision.INT8))
+    if mode == "orb":
+        mesh = sharding.make_mesh() if len(jax.devices()) > 1 else None
+        if mesh is not None and imgs.shape[0] % mesh.devices.size:
+            pad = mesh.devices.size - imgs.shape[0] % mesh.devices.size
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+        fn = sharding.build_orb_hybrid(cfg, mesh=mesh)
+    elif mode == "hybrid":
         # multi-device: frame-shard the prior-independent phases over the
         # mesh (single device: plain jit, identical trajectory — test-pinned)
         mesh = sharding.make_mesh() if len(jax.devices()) > 1 else None

@@ -1,0 +1,347 @@
+"""TPU-native ORB-class binary feature front end.
+
+The reference's classic path (ClassicFeatureFrontEnd,
+src/odml_visual_odometry/src/feature_detection_classic.cpp:13-25: ORB with
+2000 features, scaleFactor 1.2, 8 levels, FAST_SCORE, fastThreshold 20) runs
+OpenCV on the host CPU — on this environment's single visible core that costs
+~36 ms/frame and caps the classic fused mode at ~26 FPS (BENCH_NOTES.md).
+This module re-designs the same detector family for the TPU so the classic
+pipeline becomes fully device-resident like the SuperPoint path:
+
+  * FAST-9/16 corner detection as pure elementwise ops over 16 statically
+    shifted image views (VPU-shaped; no data-dependent loops) with OpenCV's
+    exact corner test, cornerScore and strict-greater 8-neighbour NMS
+    (cv::FAST semantics — parity is test-pinned against cv2 bit for bit);
+  * the ORB image pyramid (successive bilinear downscale, per-level keypoint
+    quotas proportional to inverse scale, OpenCV's distribution rule);
+  * intensity-centroid orientation (IC_Angle) over OpenCV's exact circular
+    umax patch, computed as masked patch-gather reductions;
+  * rotated-BRIEF 256-bit descriptors: steered point-pair comparisons on a
+    7x7 Gaussian-blurred level image. The point pattern is a seeded Gaussian
+    BRIEF pattern (Calonder et al.; the ORB paper's sampling scheme), NOT
+    OpenCV's learned `bit_pattern_31_` table — descriptors are therefore not
+    byte-compatible with cv2.ORB, and matching quality is validated
+    empirically instead (tests/test_orb.py: rotation invariance, real-frame
+    stereo inlier parity with host ORB).
+
+Everything returns the fixed-capacity `Keypoints` layout (top-K + valid
+mask), so the existing Hamming-as-matmul matcher and the whole geometry
+stack consume it unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from spsvo_tpu.ops.postprocess import Keypoints
+
+# FAST 16-pixel Bresenham circle (radius 3) in circular order, (dy, dx) —
+# cv::makeOffsets offsets16, y down. Order only matters for contiguity.
+FAST_CIRCLE = ((3, 0), (3, 1), (2, 2), (1, 3), (0, 3), (-1, 3), (-2, 2),
+               (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3), (0, -3),
+               (1, -3), (2, -2), (3, -1))
+
+HALF_PATCH = 15          # orientation patch radius (cv::ORB HARRIS_BLOCK..)
+DEFAULT_EDGE = 31        # cv::ORB edgeThreshold default
+
+
+def _shift(a: jax.Array, dy: int, dx: int) -> jax.Array:
+    """out[y, x] = a[y + dy, x + dx], zero outside. Static pad+slice (no
+    gather): fuses into the elementwise FAST program."""
+    h, w = a.shape[-2:]
+    pad = [(0, 0)] * (a.ndim - 2) + [(max(-dy, 0), max(dy, 0)),
+                                     (max(-dx, 0), max(dx, 0))]
+    ap = jnp.pad(a, pad)
+    y0, x0 = max(dy, 0), max(dx, 0)
+    return ap[..., y0:y0 + h, x0:x0 + w]
+
+
+def fast_score_map(img: jax.Array, threshold: int, *, nms: bool = True
+                   ) -> jax.Array:
+    """cv::FAST(TYPE_9_16) score map: score > 0 exactly at kept corners.
+
+    `img` is (H, W), integer-valued (uint8 grayscale cast to float/int —
+    exact integer values make the strict comparisons match OpenCV bit for
+    bit). Semantics (modules/features2d/src/fast.cpp):
+
+      corner  iff some 9-contiguous arc of the 16-circle is entirely
+              brighter than center+t or darker than center-t (strict);
+      score = max over both polarities of (max over the 16 circular
+              9-windows of the window-minimum signed difference) - 1,
+              i.e. the largest threshold at which the pixel stays a corner
+              (cornerScore<16>);
+      nms:    keep iff score strictly greater than all 8 neighbours'
+              scores (non-corners score 0); the 3-px image border never
+              fires.
+    """
+    x = img.astype(jnp.int32)
+    circle = jnp.stack([_shift(x, dy, dx) for dy, dx in FAST_CIRCLE])
+    d = x[None] - circle                                   # (16, H, W)
+    d_ext = jnp.concatenate([d, d[:8]], axis=0)            # (24, H, W)
+    # window minima over all 16 circular 9-windows, both polarities
+    win_dark = d_ext[0:16]
+    win_bright = -d_ext[0:16]
+    for j in range(1, 9):
+        win_dark = jnp.minimum(win_dark, d_ext[j:16 + j])
+        win_bright = jnp.minimum(win_bright, -d_ext[j:16 + j])
+    m = jnp.maximum(jnp.max(win_dark, axis=0), jnp.max(win_bright, axis=0))
+    corner = m > threshold
+    # 3-px border: the circle leaves the image (OpenCV scans rows/cols 3..-3)
+    h, w = x.shape
+    border = np.zeros((h, w), bool)
+    border[3:h - 3, 3:w - 3] = True
+    corner = corner & jnp.asarray(border)
+    score = jnp.where(corner, m - 1, 0)
+    if not nms:
+        return score
+    nmax = score
+    first = True
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            s = _shift(score, dy, dx)
+            nmax = s if first else jnp.maximum(nmax, s)
+            first = False
+    return jnp.where(corner & (score > nmax), score, 0)
+
+
+def gaussian_blur7(img: jax.Array, sigma: float = 2.0) -> jax.Array:
+    """Separable 7x7 Gaussian with reflect-101 borders — cv::GaussianBlur
+    (ORB blurs each level before computing descriptors,
+    modules/features2d/src/orb.cpp computeDescriptors)."""
+    r = np.arange(-3, 4, dtype=np.float64)
+    k = np.exp(-(r * r) / (2.0 * sigma * sigma))
+    k = (k / k.sum()).astype(np.float32)
+    kj = jnp.asarray(k)
+    pad = jnp.pad(img, ((3, 3), (3, 3)), mode="reflect")
+    # two 1-D convs via dot over a stacked-window axis (static shifts)
+    h, w = img.shape
+    rows = sum(kj[i] * pad[i:i + h, 3:3 + w] for i in range(7))
+    pad2 = jnp.pad(rows, ((0, 0), (3, 3)), mode="reflect")
+    return sum(kj[i] * pad2[:, i:i + w] for i in range(7))
+
+
+@functools.lru_cache(maxsize=None)
+def _ic_masks(half_patch: int = HALF_PATCH
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """OpenCV's circular orientation patch: per-row umax from
+    ICAngles/makeRandomPattern setup (orb.cpp ORB_Impl::detectAndCompute —
+    the +/-vmax rows use cvRound(sqrt(r^2-v^2)), the rest mirror for exact
+    symmetry). Returns (mask, x*mask, y*mask) as (2r+1, 2r+1) float32."""
+    hp = half_patch
+    umax = np.zeros(hp + 1, np.int32)
+    vmax = int(math.floor(hp * math.sqrt(2.0) / 2 + 1))
+    vmin = int(math.ceil(hp * math.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(math.sqrt(hp * hp - v * v)))
+    v0 = 0
+    for v in range(hp, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    n = 2 * hp + 1
+    mask = np.zeros((n, n), np.float32)
+    for v in range(-hp, hp + 1):
+        u = umax[abs(v)]
+        mask[v + hp, hp - u:hp + u + 1] = 1.0
+    ys, xs = np.mgrid[-hp:hp + 1, -hp:hp + 1].astype(np.float32)
+    return mask, (xs * mask).astype(np.float32), (ys * mask).astype(
+        np.float32)
+
+
+def _gather_patches(img: jax.Array, xy_int: jax.Array, radius: int
+                    ) -> jax.Array:
+    """(K, 2r+1, 2r+1) intensity patches at integer centers (x, y). Callers
+    guarantee centers at least `radius` from the border (edge-masked
+    detection); clip guards the invalid-slot zeros."""
+    h, w = img.shape
+    n = 2 * radius + 1
+    offs = np.mgrid[-radius:radius + 1, -radius:radius + 1]  # (2, n, n) y,x
+    cy = jnp.clip(xy_int[:, 1, None, None] + offs[0], 0, h - 1)
+    cx = jnp.clip(xy_int[:, 0, None, None] + offs[1], 0, w - 1)
+    return img[cy, cx]
+
+
+def ic_orientation(img: jax.Array, xy_int: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Intensity-centroid angle (cos, sin) per keypoint — cv::ICAngles
+    (m01/m10 moments over the circular patch), on the UNBLURRED level
+    image like OpenCV."""
+    mask, xm, ym = _ic_masks()
+    patches = _gather_patches(img, xy_int, HALF_PATCH)      # (K, 31, 31)
+    m10 = jnp.sum(patches * jnp.asarray(xm), axis=(1, 2))
+    m01 = jnp.sum(patches * jnp.asarray(ym), axis=(1, 2))
+    norm = jnp.sqrt(m10 * m10 + m01 * m01)
+    safe = jnp.maximum(norm, 1e-12)
+    # zero moments (flat patch): angle 0 like OpenCV's fastAtan2(0,0)=0
+    cos = jnp.where(norm > 0, m10 / safe, 1.0)
+    sin = jnp.where(norm > 0, m01 / safe, 0.0)
+    return cos, sin
+
+
+@functools.lru_cache(maxsize=None)
+def make_brief_pattern(n_bits: int = 256, seed: int = 29,
+                       radius: float = 10.5, min_sep: float = 2.0
+                       ) -> np.ndarray:
+    """Seeded Gaussian BRIEF point-pair pattern, (n_bits, 2, 2) float32
+    (pairs of (x, y) offsets). Sampling follows the ORB paper's G(0, S^2/25)
+    scheme with rejection to keep every point inside `radius` (so any
+    rotation + rounding stays within the 15-px descriptor patch) and every
+    pair at least `min_sep` apart (degenerate A==B bits are always 0).
+    Deterministic: same seed -> same descriptors across processes."""
+    rng = np.random.default_rng(seed)
+    sigma = 31.0 / 5.0
+    pts = np.zeros((n_bits, 2, 2), np.float32)
+    for i in range(n_bits):
+        while True:
+            p = rng.normal(0.0, sigma, size=(2, 2))
+            if (np.hypot(p[:, 0], p[:, 1]).max() <= radius
+                    and np.hypot(*(p[0] - p[1])) >= min_sep):
+                pts[i] = p
+                break
+    return pts
+
+
+def brief_descriptors(img_blur: jax.Array, xy_int: jax.Array,
+                      cos: jax.Array, sin: jax.Array,
+                      pattern: Optional[np.ndarray] = None) -> jax.Array:
+    """Steered-BRIEF bits: rotate the pattern by each keypoint's angle,
+    round to integer offsets (cvRound — round-half-even like np/jnp), gather
+    both points, bit = I(A) < I(B) (cv::ORB computeOrbDescriptors
+    GET_VALUE(0) < GET_VALUE(1)). Returns (K, n_bits) float {0, 1} —
+    directly consumable by `matching.hamming_distance`."""
+    if pattern is None:
+        pattern = make_brief_pattern()
+    pat = jnp.asarray(pattern)                              # (B, 2, 2)
+    px, py = pat[..., 0], pat[..., 1]                       # (B, 2)
+    # per keypoint rotation: col' = x cos - y sin, row' = x sin + y cos
+    c = cos[:, None, None]
+    s = sin[:, None, None]
+    ox = jnp.round(px[None] * c - py[None] * s).astype(jnp.int32)
+    oy = jnp.round(px[None] * s + py[None] * c).astype(jnp.int32)
+    h, w = img_blur.shape
+    gx = jnp.clip(xy_int[:, 0, None, None] + ox, 0, w - 1)  # (K, B, 2)
+    gy = jnp.clip(xy_int[:, 1, None, None] + oy, 0, h - 1)
+    vals = img_blur[gy, gx]                                 # (K, B, 2)
+    return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
+
+
+def _level_shapes(h: int, w: int, n_levels: int, scale_factor: float
+                  ) -> Sequence[Tuple[int, int]]:
+    return [(max(1, int(round(h / scale_factor ** l))),
+             max(1, int(round(w / scale_factor ** l))))
+            for l in range(n_levels)]
+
+
+def level_quotas(h: int, w: int, k: int, n_levels: int, scale_factor: float,
+                 border: int) -> Sequence[int]:
+    """Per-level keypoint quotas, OpenCV's geometric distribution
+    (orb.cpp: nfeatures * (1-f)/(1-f^L) * f^level with f = 1/scaleFactor),
+    with unusable levels (too small for the edge border) zeroed and their
+    share re-normalised over the usable ones. Sums exactly to k."""
+    shapes = _level_shapes(h, w, n_levels, scale_factor)
+    usable = [min(hw) > 2 * border + 3 for hw in shapes]
+    f = 1.0 / scale_factor
+    weights = [(f ** l if usable[l] else 0.0) for l in range(n_levels)]
+    total = sum(weights)
+    if total <= 0:
+        raise ValueError(
+            f"no pyramid level of a {h}x{w} image is usable with "
+            f"border {border}")
+    quotas = [int(k * wgt / total) for wgt in weights]
+    # hand the rounding remainder to the finest usable level
+    quotas[usable.index(True)] += k - sum(quotas)
+    return quotas
+
+
+def orb_features(img: jax.Array, *, k: int, n_levels: int = 8,
+                 scale_factor: float = 1.2, fast_threshold: int = 20,
+                 border: int = DEFAULT_EDGE,
+                 pattern: Optional[np.ndarray] = None) -> Keypoints:
+    """Full ORB-class front end for ONE image -> fixed-capacity Keypoints.
+
+    `img` is (H, W) float32 in [0, 1] (the pipeline's preprocessed frame
+    convention); it is rescaled to exact uint8 integer values internally so
+    the level-0 FAST test matches cv2 exactly. xy is in level-0 pixels
+    (level coords scaled by 1.2^level like cv::ORB); score is the FAST
+    cornerScore (the reference's FAST_SCORE mode,
+    feature_detection_classic.cpp:21); desc is (k, 256) float {0,1} steered
+    BRIEF bits.
+    """
+    h, w = img.shape
+    base = jnp.round(img * 255.0)
+    quotas = level_quotas(h, w, k, n_levels, scale_factor, border)
+    shapes = _level_shapes(h, w, n_levels, scale_factor)
+
+    xs, ys_, scores, valids, descs = [], [], [], [], []
+    level_img = base
+    for lvl in range(n_levels):
+        if lvl > 0:
+            # successive downscale like cv::ORB's pyramid (resize from the
+            # previous level, INTER_LINEAR ~ half-pixel-center bilinear)
+            level_img = jax.image.resize(level_img, shapes[lvl],
+                                         method="linear")
+        kq = quotas[lvl]
+        if kq == 0:
+            continue
+        hl, wl = shapes[lvl]
+        score = fast_score_map(jnp.round(level_img), fast_threshold)
+        # edge mask (cv::KeyPointsFilter::runByImageBorder(edgeThreshold))
+        emask = np.zeros((hl, wl), bool)
+        emask[border:hl - border, border:wl - border] = True
+        score = jnp.where(jnp.asarray(emask), score, 0)
+        top_s, flat_idx = jax.lax.top_k(score.reshape(-1), kq)
+        yx = jnp.stack([flat_idx // wl, flat_idx % wl], axis=-1)
+        xy_int = yx[:, ::-1].astype(jnp.int32)              # (kq, 2) x, y
+        valid = top_s > 0
+        cos, sin = ic_orientation(level_img, xy_int)
+        blur = gaussian_blur7(level_img)
+        desc = brief_descriptors(blur, xy_int, cos, sin, pattern)
+        scale = scale_factor ** lvl
+        xs.append(xy_int[:, 0].astype(jnp.float32) * scale)
+        ys_.append(xy_int[:, 1].astype(jnp.float32) * scale)
+        scores.append(top_s.astype(jnp.float32))
+        valids.append(valid)
+        descs.append(desc)
+
+    xy = jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys_)], axis=-1)
+    return Keypoints(xy=xy, score=jnp.concatenate(scores),
+                     valid=jnp.concatenate(valids),
+                     desc=jnp.concatenate(descs))
+
+
+def orb_frontend_batch(images: jax.Array, *, k: int, n_levels: int = 8,
+                       scale_factor: float = 1.2, fast_threshold: int = 20,
+                       border: int = DEFAULT_EDGE, chunk: int = 0
+                       ) -> Keypoints:
+    """Batched front end over (N, H, W) frames -> Keypoints with leading N.
+
+    Chunked lax.map like `sharding.frontend_batch`: the FAST stack
+    materialises ~17 HxW int32 planes per image (25 MB at 375x1242), so the
+    chunk bounds peak memory while each chunk still vectorises the
+    elementwise FAST program across frames. chunk=0 auto-sizes to the same
+    budget as 32 images at 120x392."""
+    n, h, w = images.shape
+    if chunk <= 0:
+        chunk = min(64, max(4, (32 * 120 * 392 // (h * w)) // 4 * 4))
+    fn = functools.partial(orb_features, k=k, n_levels=n_levels,
+                           scale_factor=scale_factor,
+                           fast_threshold=fast_threshold, border=border)
+    if n <= chunk:
+        return jax.vmap(fn)(images)
+    x = images
+    if n % chunk:
+        pad = chunk - n % chunk
+        x = jnp.concatenate([x, jnp.zeros((pad, h, w), x.dtype)])
+    xc = x.reshape(-1, chunk, h, w)
+    kps = jax.lax.map(lambda c: jax.vmap(fn)(c), xc)
+    return jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:])[:n], kps)

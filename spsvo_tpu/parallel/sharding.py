@@ -237,7 +237,7 @@ def build_batch_vo(apply_fn, cfg: VOConfig, mesh: Mesh,
 
 def build_online_hybrid(apply_fn, cfg: VOConfig, mesh: Optional[Mesh] = None,
                         axis_name: str = "data", feature_input: bool = False,
-                        binary_desc: bool = False):
+                        binary_desc: bool = False, frontend_batch_fn=None):
     """ONLINE semantics at near-throughput speed: every prior-INdependent
     stage (CNN frontend, postprocess, stereo + inter-frame matching, chain
     filter, compaction, triangulation) runs frame-parallel; the lax.scan
@@ -484,14 +484,20 @@ def build_online_hybrid(apply_fn, cfg: VOConfig, mesh: Optional[Mesh] = None,
 
     def fn(params, images, P_l, P_r, key):
         n = images.shape[0]
-        # phase 1 (parallel): frontend on all 2N images
+        # phase 1 (parallel): frontend on all 2N images. `frontend_batch_fn`
+        # swaps the CNN for another in-graph front end (the device-native
+        # ORB, `build_orb_hybrid`) — same signature, same Keypoints layout.
         imgs_flat = images.reshape(n * 2, *images.shape[2:])
-        kps = shard_frames(
-            frontend_batch(apply_fn, params, imgs_flat, cfg, mesh_size=msize))
+        if frontend_batch_fn is None:
+            kps = frontend_batch(apply_fn, params, imgs_flat, cfg,
+                                 mesh_size=msize)
+        else:
+            kps = frontend_batch_fn(params, imgs_flat)
+        kps = shard_frames(kps)
         kp = jax.tree.map(lambda a: a.reshape(n, 2, *a.shape[1:]), kps)
         kp_l = jax.tree.map(lambda a: a[:, 0], kp)
         kp_r = jax.tree.map(lambda a: a[:, 1], kp)
-        return core(kp_l, kp_r, P_l, P_r, key)
+        return core(kp_l, kp_r, P_l, P_r, key, binary_desc=binary_desc)
 
     if mesh is None:
         return jax.jit(fn)
@@ -514,6 +520,32 @@ def build_feature_hybrid(cfg: VOConfig, binary_desc: bool = False,
     `fn(kp_stack (N,2,K,...) Keypoints, P_l, P_r, key) -> (world, diag)`."""
     return build_online_hybrid(None, cfg, mesh=mesh, axis_name=axis_name,
                                feature_input=True, binary_desc=binary_desc)
+
+
+def build_orb_hybrid(cfg: VOConfig, mesh: Optional[Mesh] = None,
+                     axis_name: str = "data"):
+    """FULLY device-resident classic mode (beyond reference): the TPU-native
+    ORB-class front end (ops/orb.py — FAST-9, intensity-centroid
+    orientation, steered BRIEF) replaces the host OpenCV detect/describe of
+    the reference's classic path (feature_detection_classic.cpp:81-130), so
+    detection, Hamming matching, chain filter, triangulation, RANSAC, LM and
+    gates run as ONE device program with exact online semantics — no host
+    work per frame at all, unlike `build_feature_hybrid` which is fed by
+    host OpenCV. `fn(params, images (N, 2, H, W) float [0,1], P_l, P_r,
+    key)`; `params` is ignored (pass None) — kept for signature parity with
+    the CNN hybrid so harness/bench code paths are shared."""
+    from spsvo_tpu.ops.orb import orb_frontend_batch
+
+    def fb(params, imgs_flat):
+        del params
+        return orb_frontend_batch(
+            imgs_flat, k=cfg.max_keypoints, n_levels=cfg.orb_n_levels,
+            scale_factor=cfg.orb_scale_factor,
+            fast_threshold=cfg.orb_fast_threshold,
+            border=cfg.orb_edge_threshold)
+
+    return build_online_hybrid(None, cfg, mesh=mesh, axis_name=axis_name,
+                               binary_desc=True, frontend_batch_fn=fb)
 
 
 # --------------------------------------------------------------------------
