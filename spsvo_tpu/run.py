@@ -42,15 +42,20 @@ def cmd_eval(args) -> int:
     if not args.sample_images and args.kitti_root is None:
         print("need --kitti-root or --sample-images", file=sys.stderr)
         return 2
-    if cfg.is_classic and args.mode not in ("frame", "classic"):
-        print("classic configs run --mode frame or --mode classic "
-              "(host-detect-all + fused device geometry)", file=sys.stderr)
+    if args.mode == "orb":
+        # the device-resident classic mode: the TPU-native ORB front end
+        # replaces host OpenCV detection (ops/orb.py) — any preset opts in
+        cfg = dataclasses.replace(cfg, is_classic=True, device_classic=True)
+    if cfg.is_classic and args.mode not in ("frame", "classic", "orb"):
+        print("classic configs run --mode frame, --mode classic "
+              "(host-detect-all + fused device geometry) or --mode orb "
+              "(fully device-resident ORB)", file=sys.stderr)
         return 2
     if not cfg.is_classic and args.mode == "classic":
         print("--mode classic is for classic configs; CNN configs use "
               "--mode hybrid/batch", file=sys.stderr)
         return 2
-    if cfg.landmark_fusion and args.mode not in ("frame", "hybrid"):
+    if cfg.landmark_fusion and args.mode not in ("frame", "hybrid", "orb"):
         print("--landmark-fusion needs the sequential prior chain: use "
               "--mode frame or --mode hybrid (the batch/classic modes "
               "solve frames independently and would silently ignore it)",
@@ -165,7 +170,7 @@ def main(argv=None) -> int:
                    help="write per-frame match/inlier PNGs here (the "
                         "reference's live image topics; frame mode only)")
     p.add_argument("--mode", default="frame",
-                   choices=("frame", "hybrid", "batch", "classic"),
+                   choices=("frame", "hybrid", "batch", "classic", "orb"),
                    help="execution mode: per-frame online API (reference "
                         "semantics, per-frame latency CSV), 'hybrid' = "
                         "whole-sequence on-device with exact online "

@@ -267,3 +267,35 @@ def test_orb_hybrid_corridor_drive(rng):
     # so the bound is a tracking-holds regression, not an accuracy target.
     assert rep["final_drift_percent"] < 20.0, rep
     assert rep["ate_m"] < 0.3, rep
+
+
+def test_orb_hybrid_sharded_matches_unsharded(sample_image_dir):
+    """The device-ORB hybrid sharded over the 8-device mesh reproduces the
+    unsharded trajectory exactly, like the CNN hybrid (the ORB front end is
+    frame-parallel elementwise work; the prior-scan consumes the same
+    all-gathered per-pair inputs)."""
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    from spsvo_tpu.parallel.sharding import build_orb_hybrid, make_mesh
+
+    h, w = 188, 620
+    imgs = np.stack([
+        np.stack([im, np.roll(im, -6, axis=1)])
+        for i in range(8)
+        for im in [_real_image(sample_image_dir, i, hw=(h, w)).astype(
+            np.float32) / 255.0]])
+    cfg = VOConfig(is_classic=True, device_classic=True,
+                   detector_type=DetectorType.ORB,
+                   descriptor_type=DescriptorType.ORB,
+                   image_height=h, image_width=w, max_keypoints=256,
+                   orb_n_levels=2, ransac_iterations=128, solve_slots=128)
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]], np.float32)
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    args = (None, jnp.asarray(imgs), jnp.asarray(P, jnp.float32),
+            jnp.asarray(P_r, jnp.float32), jax.random.PRNGKey(0))
+    w_plain, _ = build_orb_hybrid(cfg)(*args)
+    w_shard, diag = build_orb_hybrid(cfg, mesh=make_mesh())(*args)
+    np.testing.assert_array_equal(np.asarray(w_shard), np.asarray(w_plain))
+    assert np.isfinite(np.asarray(w_shard)).all()
+    assert np.asarray(diag["num_inliers"]).min() >= 6
