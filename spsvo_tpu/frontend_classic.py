@@ -138,20 +138,45 @@ def _pack_features(kps, descs, k: int, binary: bool, desc_dim: int
 
 class ClassicVisualOdometry:
     """Host-detect, device-solve classic VO with the same `process` API as
-    `pipeline.VisualOdometry`."""
+    `pipeline.VisualOdometry`.
+
+    With `cfg.device_classic`, detection moves on-device too: the TPU-native
+    ORB front end (ops/orb.py) replaces the OpenCV detect/describe and the
+    whole step (detect -> match -> solve) is ONE jitted program per frame,
+    exactly like the SuperPoint path."""
 
     def __init__(self, cfg: VOConfig, seed: int = 0):
         if not cfg.is_classic:
             import dataclasses
             cfg = dataclasses.replace(cfg, is_classic=True)
         self.cfg = cfg
-        self.detector = make_detector(cfg.detector_type)
-        self.extractor = make_extractor(cfg.descriptor_type)
         self.binary = cfg.descriptor_type.is_binary
-        self.desc_dim = DESC_DIMS[cfg.descriptor_type.value]
+        if cfg.device_classic:
+            from spsvo_tpu.ops.orb import orb_frontend_batch
+            self.detector = self.extractor = None
+            self.desc_dim = 256  # steered-BRIEF bits
+
+            def dev_step(state, images, P_l, P_r, key):
+                # images: (2, H, W) uint8 — normalised on device
+                kps = orb_frontend_batch(
+                    images.astype(jnp.float32) / 255.0,
+                    k=cfg.max_keypoints, n_levels=cfg.orb_n_levels,
+                    scale_factor=cfg.orb_scale_factor,
+                    fast_threshold=cfg.orb_fast_threshold,
+                    border=cfg.orb_edge_threshold)
+                kp_l = jax.tree.map(lambda a: a[0], kps)
+                kp_r = jax.tree.map(lambda a: a[1], kps)
+                return features_step(state, kp_l, kp_r, P_l, P_r, key,
+                                     cfg=cfg, binary_desc=True)
+
+            self._dev_step = jax.jit(dev_step, donate_argnums=(0,))
+        else:
+            self.detector = make_detector(cfg.detector_type)
+            self.extractor = make_extractor(cfg.descriptor_type)
+            self.desc_dim = DESC_DIMS[cfg.descriptor_type.value]
+            self._step = jax.jit(functools.partial(
+                features_step, cfg=cfg, binary_desc=self.binary))
         self._key = jax.random.PRNGKey(seed)
-        self._step = jax.jit(functools.partial(
-            features_step, cfg=cfg, binary_desc=self.binary))
         self.reset()
 
     def reset(self) -> None:
@@ -189,15 +214,21 @@ class ClassicVisualOdometry:
                 P_l, h0, w0, cfg.image_height, cfg.image_width)
             P_r = image_ops.update_projection_matrix_np(
                 P_r, h0, w0, cfg.image_height, cfg.image_width)
-        kp_l = self._detect(img_l)
-        kp_r = self._detect(img_r)
         # host-side counter (mirrors pipeline.VisualOdometry): reading
         # state.frame_count back would cost a ~50-100 ms device fetch/frame
         key = jax.random.fold_in(self._key, self._frame_idx)
         self._frame_idx += 1
-        self.state, out = self._step(
-            self.state, kp_l, kp_r, jnp.asarray(P_l, jnp.float32),
-            jnp.asarray(P_r, jnp.float32), key)
+        if cfg.device_classic:
+            images = jnp.asarray(np.stack([img_l, img_r]))
+            self.state, out = self._dev_step(
+                self.state, images, jnp.asarray(P_l, jnp.float32),
+                jnp.asarray(P_r, jnp.float32), key)
+        else:
+            kp_l = self._detect(img_l)
+            kp_r = self._detect(img_r)
+            self.state, out = self._step(
+                self.state, kp_l, kp_r, jnp.asarray(P_l, jnp.float32),
+                jnp.asarray(P_r, jnp.float32), key)
         T = np.asarray(out.T_curr_prev, dtype=np.float64)
         t1 = time.perf_counter()
 

@@ -299,3 +299,31 @@ def test_orb_hybrid_sharded_matches_unsharded(sample_image_dir):
     np.testing.assert_array_equal(np.asarray(w_shard), np.asarray(w_plain))
     assert np.isfinite(np.asarray(w_shard)).all()
     assert np.asarray(diag["num_inliers"]).min() >= 6
+
+
+def test_classic_vo_device_frontend(sample_image_dir):
+    """Per-frame classic API with the device front end: one jitted program
+    per frame (detect -> match -> solve on device), same `process` surface
+    as the host-OpenCV path."""
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    from spsvo_tpu.frontend_classic import ClassicVisualOdometry
+
+    cfg = VOConfig(is_classic=True, device_classic=True,
+                   detector_type=DetectorType.ORB,
+                   descriptor_type=DescriptorType.ORB,
+                   image_height=188, image_width=620, max_keypoints=256,
+                   orb_n_levels=2, ransac_iterations=128, solve_slots=128)
+    vo = ClassicVisualOdometry(cfg)
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]])
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    for i in range(3):
+        img = _real_image(sample_image_dir, i)
+        T, info = vo.process(img, np.roll(img, -8, axis=1), P, P_r,
+                             want_diagnostics=True)
+        assert np.isfinite(T).all()
+        if i > 0:
+            assert info["num_keypoints_left"] > 80
+            assert info["num_inliers"] > 15
+            assert info["pnp_success"] == 1
