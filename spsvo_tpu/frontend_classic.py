@@ -155,6 +155,9 @@ class ClassicVisualOdometry:
             from spsvo_tpu.ops.orb import orb_frontend_batch
             self.detector = self.extractor = None
             self.desc_dim = 256  # steered-BRIEF bits
+            dev_detector = ("shi_tomasi"
+                            if cfg.detector_type == DetectorType.SHI_TOMASI
+                            else "orb")
 
             def dev_step(state, images, P_l, P_r, key):
                 # images: (2, H, W) uint8 — normalised on device
@@ -163,7 +166,7 @@ class ClassicVisualOdometry:
                     k=cfg.max_keypoints, n_levels=cfg.orb_n_levels,
                     scale_factor=cfg.orb_scale_factor,
                     fast_threshold=cfg.orb_fast_threshold,
-                    border=cfg.orb_edge_threshold)
+                    border=cfg.orb_edge_threshold, detector=dev_detector)
                 kp_l = jax.tree.map(lambda a: a[0], kps)
                 kp_r = jax.tree.map(lambda a: a[1], kps)
                 return features_step(state, kp_l, kp_r, P_l, P_r, key,

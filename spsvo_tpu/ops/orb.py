@@ -235,6 +235,111 @@ def brief_descriptors(img_blur: jax.Array, xy_int: jax.Array,
     return (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
 
 
+def shi_tomasi_score_map(img: jax.Array, block_size: int = 5) -> jax.Array:
+    """Shi-Tomasi min-eigenvalue corner response (cv::cornerMinEigenVal
+    semantics: Sobel-3 gradients, box-summed structure tensor over
+    `block_size`, lambda_min = (a+c)/2 - sqrt(((a-c)/2)^2 + b^2)).
+
+    Absolute scale is irrelevant downstream: GFTT thresholds RELATIVE to the
+    map's max (qualityLevel), so the cv2 normalisation constants are
+    dropped. Reference detector params: GFTTDetector_create(1000, 0.03,
+    7.5, 5, false, 0.04) (feature_detection_classic.cpp:44-46)."""
+    x = img.astype(jnp.float32)
+    p = jnp.pad(x, 1, mode="reflect")
+    # Sobel 3x3 via shifted views (reflect-101 like cv2's default border)
+    h, w = x.shape
+
+    def sl(dy, dx):
+        return p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+    gx = (sl(-1, 1) + 2 * sl(0, 1) + sl(1, 1)
+          - sl(-1, -1) - 2 * sl(0, -1) - sl(1, -1))
+    gy = (sl(1, -1) + 2 * sl(1, 0) + sl(1, 1)
+          - sl(-1, -1) - 2 * sl(-1, 0) - sl(-1, 1))
+    r = block_size // 2
+
+    def box(a):
+        ap = jnp.pad(a, r, mode="reflect")
+        out = None
+        for dy in range(block_size):
+            row = ap[dy:dy + h]
+            for dx in range(block_size):
+                v = row[:, dx:dx + w]
+                out = v if out is None else out + v
+        return out
+
+    a = box(gx * gx)
+    b = box(gx * gy)
+    c = box(gy * gy)
+    return (a + c) / 2.0 - jnp.sqrt(((a - c) / 2.0) ** 2 + b * b)
+
+
+def gftt_features(img: jax.Array, *, k: int, quality_level: float = 0.03,
+                  min_distance: float = 7.5, block_size: int = 5,
+                  border: int = 16,
+                  pattern: Optional[np.ndarray] = None) -> Keypoints:
+    """Shi-Tomasi/GFTT detection + steered-BRIEF description, single scale —
+    the device equivalent of the reference's ShiTomasi+ORB classic config
+    (cv::goodFeaturesToTrack semantics: response > qualityLevel * max,
+    `min_distance` spatial suppression — here strict local-max over the
+    min_distance radius, a documented delta from cv2's greedy grid walk).
+    `img` is (H, W) float32 in [0, 1]."""
+    h, w = img.shape
+    base = jnp.round(img * 255.0)
+    score = shi_tomasi_score_map(base, block_size)
+    rad = int(math.floor(min_distance))
+    # per-row horizontal extent of the EUCLIDEAN min_distance disc (cv2
+    # suppresses by Euclidean distance; a square window would be Chebyshev
+    # and up to sqrt(2)x too aggressive on diagonals)
+    exts = [int(math.floor(math.sqrt(min_distance ** 2 - dy * dy)))
+            for dy in range(rad + 1)]
+
+    def circ_max(a):
+        # disc max decomposed into horizontal-segment maxes then a vertical
+        # pass: O(2*(rad + max_ext)) shifted views instead of O(rad^2)
+        # (~31 vs ~177 traced ops at min_distance 7.5 — the naive disc made
+        # the 2-round suppression dominate compile time), center included
+        hmax = [a]
+        cur = a
+        for e in range(1, exts[0] + 1):
+            cur = jnp.maximum(cur, jnp.maximum(_shift(a, 0, e),
+                                               _shift(a, 0, -e)))
+            hmax.append(cur)
+        out = hmax[exts[0]]
+        for dy in range(1, rad + 1):
+            row = hmax[exts[dy]]
+            out = jnp.maximum(out, jnp.maximum(_shift(row, dy, 0),
+                                               _shift(row, -dy, 0)))
+        return out
+
+    # relative quality threshold first (cv2 order), then the iterated
+    # disc-max suppression (postprocess.nms's scheme): extra rounds recover
+    # secondary peaks whose stronger neighbour was itself suppressed — the
+    # chains cv2's greedy sorted walk keeps but one-shot local-max loses
+    # (measured on a real frame: 87 corners one-shot vs cv2's 151; 160
+    # with 2 rounds, >80% within 2 px of cv2's set).
+    score = jnp.where(score > quality_level * jnp.max(score), score, 0.0)
+    zeros = jnp.zeros_like(score)
+    max_mask = (score == circ_max(score)) & (score > 0)
+    for _ in range(2):
+        supp_mask = circ_max(max_mask.astype(score.dtype)) > 0
+        supp_scores = jnp.where(supp_mask, zeros, score)
+        new_max = (supp_scores == circ_max(supp_scores)) & (supp_scores > 0)
+        max_mask = max_mask | (new_max & ~supp_mask)
+    emask = np.zeros((h, w), bool)
+    emask[border:h - border, border:w - border] = True
+    score = jnp.where(max_mask & jnp.asarray(emask), score, 0.0)
+    top_s, flat_idx = jax.lax.top_k(score.reshape(-1), k)
+    yx = jnp.stack([flat_idx // w, flat_idx % w], axis=-1)
+    xy_int = yx[:, ::-1].astype(jnp.int32)
+    valid = top_s > 0
+    cos, sin = ic_orientation(base, xy_int)
+    blur = gaussian_blur7(base)
+    desc = brief_descriptors(blur, xy_int, cos, sin, pattern)
+    return Keypoints(xy=xy_int.astype(jnp.float32), score=top_s,
+                     valid=valid, desc=desc)
+
+
 def _level_shapes(h: int, w: int, n_levels: int, scale_factor: float
                   ) -> Sequence[Tuple[int, int]]:
     return [(max(1, int(round(h / scale_factor ** l))),
@@ -321,9 +426,12 @@ def orb_features(img: jax.Array, *, k: int, n_levels: int = 8,
 
 def orb_frontend_batch(images: jax.Array, *, k: int, n_levels: int = 8,
                        scale_factor: float = 1.2, fast_threshold: int = 20,
-                       border: int = DEFAULT_EDGE, chunk: int = 0
-                       ) -> Keypoints:
+                       border: int = DEFAULT_EDGE, chunk: int = 0,
+                       detector: str = "orb") -> Keypoints:
     """Batched front end over (N, H, W) frames -> Keypoints with leading N.
+
+    `detector`: "orb" (multi-scale FAST + steered BRIEF) or "shi_tomasi"
+    (single-scale GFTT + steered BRIEF, the reference's ShiTomasi config).
 
     Chunked lax.map like `sharding.frontend_batch`: the FAST stack
     materialises ~17 HxW int32 planes per image (25 MB at 375x1242), so the
@@ -333,9 +441,16 @@ def orb_frontend_batch(images: jax.Array, *, k: int, n_levels: int = 8,
     n, h, w = images.shape
     if chunk <= 0:
         chunk = min(64, max(4, (32 * 120 * 392 // (h * w)) // 4 * 4))
-    fn = functools.partial(orb_features, k=k, n_levels=n_levels,
-                           scale_factor=scale_factor,
-                           fast_threshold=fast_threshold, border=border)
+    if detector == "shi_tomasi":
+        # GFTT has no 31-px ORB edge buffer; 16 px covers the descriptor
+        # patches (cv2 GFTT itself only skips the Sobel/box border)
+        fn = functools.partial(gftt_features, k=k, border=16)
+    elif detector == "orb":
+        fn = functools.partial(orb_features, k=k, n_levels=n_levels,
+                               scale_factor=scale_factor,
+                               fast_threshold=fast_threshold, border=border)
+    else:
+        raise ValueError(f"unknown device detector {detector!r}")
     if n <= chunk:
         return jax.vmap(fn)(images)
     x = images

@@ -327,3 +327,52 @@ def test_classic_vo_device_frontend(sample_image_dir):
             assert info["num_keypoints_left"] > 80
             assert info["num_inliers"] > 15
             assert info["pnp_success"] == 1
+
+
+def test_gftt_detection_overlap_vs_cv2(sample_image_dir):
+    """Device Shi-Tomasi corners must land where cv2.goodFeaturesToTrack
+    puts them (same response map up to scale; the spatial suppression is a
+    documented delta, so the test is overlap-based, not exact)."""
+    from spsvo_tpu.ops.orb import gftt_features
+
+    img = _real_image(sample_image_dir, hw=(180, 360))
+    kp = gftt_features(jnp.asarray(img, jnp.float32) / 255.0, k=300)
+    ours = np.asarray(kp.xy)[np.asarray(kp.valid)]
+    assert len(ours) >= 100
+
+    theirs = cv2.goodFeaturesToTrack(img, maxCorners=300, qualityLevel=0.03,
+                                     minDistance=7.5, blockSize=5)
+    theirs = theirs.reshape(-1, 2)
+    # ignore cv2 corners inside our 16-px descriptor border
+    h, w = img.shape
+    inb = ((theirs[:, 0] >= 16) & (theirs[:, 0] < w - 16)
+           & (theirs[:, 1] >= 16) & (theirs[:, 1] < h - 16))
+    theirs = theirs[inb]
+    d = np.linalg.norm(theirs[:, None] - ours[None], axis=-1).min(axis=1)
+    assert np.mean(d <= 2.0) > 0.8, np.mean(d <= 2.0)
+
+
+def test_gftt_hybrid_corridor_drive(rng):
+    """ShiTomasi+BRIEF device classic end-to-end: tracking holds on the
+    corridor drive (the reference's ShiTomasi/ORB sweep config, device
+    edition)."""
+    import dataclasses
+
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    from spsvo_tpu.eval import harness
+    from spsvo_tpu.eval.synthetic import score_trajectory, synthetic_corridor
+
+    frames, gt, P_l, P_r = synthetic_corridor(
+        rng, n_frames=8, h=150, w=496, yaw_rate=0.008,
+        forward_per_frame=0.4)
+    cfg = VOConfig(is_classic=True, device_classic=True,
+                   detector_type=DetectorType.SHI_TOMASI,
+                   descriptor_type=DescriptorType.ORB,
+                   image_height=150, image_width=496, max_keypoints=256,
+                   ransac_iterations=128, solve_slots=128)
+    res = harness.run_sequence_fused(cfg, frames, P_l, P_r, mode="orb")
+    rep = score_trajectory(res.poses, gt)
+    assert np.mean([r["pnp_success"] for r in res.diagnostics]) == 1.0
+    assert np.mean([r["num_inliers"] for r in res.diagnostics]) > 25
+    assert rep["final_drift_percent"] < 20.0, rep
+    assert rep["ate_m"] < 0.3, rep
