@@ -352,20 +352,25 @@ def build_online_hybrid(apply_fn, cfg: VOConfig, mesh: Optional[Mesh] = None,
                 # prior- and landmark-independent: precompute both
                 # frame-parallel so the scan body is the substitution, a
                 # 4-row splice into the hoisted tile, ONE fused kernel and
-                # the fusion update
+                # the fusion update. SPSVO_LM_HOIST=0 disables the tile
+                # hoist (in-scan packing) for A/B measurement on hardware.
+                import os
                 from spsvo_tpu.ops.solver_pallas import (pack_points,
                                                          precompute_hypotheses)
+                hoist = os.environ.get("SPSVO_LM_HOIST", "1") != "0"
                 hyps = shard_frames(jax.vmap(
                     lambda k, p: precompute_hypotheses(k, p, cfg)
                 )(keys, preps))
-                ptss = shard_frames(jax.vmap(pack_points)(preps))
+                ptss = (shard_frames(jax.vmap(pack_points)(preps))
+                        if hoist else jnp.zeros((n - 1,)))  # scan filler
 
                 def body(carry, xs):
                     q_pred, t_pred, fc, lms = carry
                     prep, k, hyp, pts = xs
                     res, lms2 = solve_with_landmarks(
                         k, prep, lms, P_l, P_r, q_pred, t_pred, fc, cfg,
-                        k_capacity=k_cap, hyp=hyp, pts_static=pts)
+                        k_capacity=k_cap, hyp=hyp,
+                        pts_static=pts if hoist else None)
                     # the per-track landmark carry must stay replicated: the
                     # SPMD partitioner is otherwise free to shard it over the
                     # mesh, turning the fusion update's reductions into
