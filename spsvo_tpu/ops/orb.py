@@ -442,9 +442,10 @@ def orb_frontend_batch(images: jax.Array, *, k: int, n_levels: int = 8,
     if chunk <= 0:
         chunk = min(64, max(4, (32 * 120 * 392 // (h * w)) // 4 * 4))
     if detector == "shi_tomasi":
-        # GFTT has no 31-px ORB edge buffer; 16 px covers the descriptor
-        # patches (cv2 GFTT itself only skips the Sobel/box border)
-        fn = functools.partial(gftt_features, k=k, border=16)
+        # honor the configured edge border, floored at the 16 px the
+        # descriptor patches need (cv2 GFTT itself has no ORB-style 31-px
+        # edge buffer, so callers typically pass a smaller value here)
+        fn = functools.partial(gftt_features, k=k, border=max(16, border))
     elif detector == "orb":
         fn = functools.partial(orb_features, k=k, n_levels=n_levels,
                                scale_factor=scale_factor,

@@ -44,8 +44,18 @@ def cmd_eval(args) -> int:
         return 2
     if args.mode == "orb":
         # the device-resident classic mode: the TPU-native ORB front end
-        # replaces host OpenCV detection (ops/orb.py) — any preset opts in
-        cfg = dataclasses.replace(cfg, is_classic=True, device_classic=True)
+        # replaces host OpenCV detection (ops/orb.py) — any preset opts in.
+        # Detector/descriptor are set unless the preset already picked a
+        # device-supported classic detector (SHI_TOMASI keeps GFTT), so the
+        # config_string labels the run correctly.
+        from spsvo_tpu.config import DescriptorType, DetectorType
+        det = (cfg.detector_type
+               if cfg.is_classic and cfg.detector_type in
+               (DetectorType.ORB, DetectorType.SHI_TOMASI)
+               else DetectorType.ORB)
+        cfg = dataclasses.replace(
+            cfg, is_classic=True, device_classic=True, detector_type=det,
+            descriptor_type=DescriptorType.ORB)
     if cfg.is_classic and args.mode not in ("frame", "classic", "orb"):
         print("classic configs run --mode frame, --mode classic "
               "(host-detect-all + fused device geometry) or --mode orb "

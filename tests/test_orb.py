@@ -369,7 +369,10 @@ def test_gftt_hybrid_corridor_drive(rng):
                    detector_type=DetectorType.SHI_TOMASI,
                    descriptor_type=DescriptorType.ORB,
                    image_height=150, image_width=496, max_keypoints=256,
-                   ransac_iterations=128, solve_slots=128)
+                   ransac_iterations=128, solve_slots=128,
+                   orb_edge_threshold=16)  # GFTT needs no ORB 31-px buffer;
+    # 16 covers the descriptor patches and keeps the detection band wide on
+    # low-res frames (the knob passes through since the border fix)
     res = harness.run_sequence_fused(cfg, frames, P_l, P_r, mode="orb")
     rep = score_trajectory(res.poses, gt)
     assert np.mean([r["pnp_success"] for r in res.diagnostics]) == 1.0

@@ -22,25 +22,16 @@ import dataclasses
 import json
 import subprocess
 import sys
-import time
 
 import numpy as np
 
+sys.path.insert(0, "/root/repo")  # before any spsvo_tpu/bench import:
+# `python tools/...` puts only tools/ on sys.path, and PYTHONPATH=/root/repo
+# breaks the axon jax plugin (CLAUDE.md)
+
+import bench  # noqa: E402  (bench._load_frames / _measure_pipelined)
+
 N_FRAMES = 128
-
-
-def _measure_pipelined(fn, args, n_frames, depth=4, reps=3):
-    out = fn(*args)
-    np.asarray(out[0])  # sync by fetch (block_until_ready is a no-op here)
-    best = float("inf")
-    diags = None
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(depth)]
-        np.asarray(outs[-1][0])
-        best = min(best, (time.perf_counter() - t0) / depth)
-        diags = outs[-1][1]
-    return n_frames / best, diags
 
 
 def main():
@@ -55,9 +46,6 @@ def main():
     from spsvo_tpu.models import zoo
     from spsvo_tpu.parallel.sharding import (build_online_hybrid,
                                              build_orb_hybrid)
-
-    sys.path.insert(0, "/root/repo")
-    import bench
 
     cfg = VOConfig(model_name_prefix="sp_mbv1", image_height=120,
                    image_width=392, max_keypoints=512,
@@ -75,13 +63,13 @@ def main():
     # --- 1. landmark point-tile hoist A/B ---------------------------------
     # the hoist packs the 12 landmark-independent point-tile rows
     # frame-parallel and splices only 4 rows in-scan (sharding.py landmark
-    # branch; SPSVO_LM_HOIST=0 disables it). NOTE: the env var is read at
-    # BUILD time, so each arm rebuilds the program.
+    # branch; SPSVO_LM_HOIST=0 disables it). The env var is read when the
+    # program is traced, so each arm rebuilds the program.
     import os
     cfg_lm = dataclasses.replace(cfg_seq, landmark_fusion=True)
     for arm, env in (("hoist_on", "1"), ("hoist_off", "0")):
         os.environ["SPSVO_LM_HOIST"] = env
-        fps_lm, d = _measure_pipelined(
+        fps_lm, d, _ = bench._measure_pipelined(
             build_online_hybrid(apply_fn, cfg_lm),
             (params, images, P_l_j, P_r_j, key), N_FRAMES)
         results[f"landmark_hybrid_fp32_fps_{arm}"] = round(fps_lm, 1)
@@ -103,14 +91,14 @@ def main():
         if res == (120, 392):
             imgs_c, pl, pr = images, P_l_j, P_r_j
         else:
-            # native-res corridor render (reuses bench's cache machinery)
-            c_full = dataclasses.replace(cfg, image_height=375,
-                                         image_width=1242)
-            f2, pl2, pr2, _ = bench._load_frames(c_full)
+            # native-res corridor render (reuses bench's cache machinery;
+            # load with the CLASSIC config `c` — the CNN config's
+            # __post_init__ rejects non-multiple-of-8 dims like 375x1242)
+            f2, pl2, pr2, _ = bench._load_frames(c)
             imgs_c = jnp.asarray(f2)
             pl, pr = (jnp.asarray(pl2, jnp.float32),
                       jnp.asarray(pr2, jnp.float32))
-        fps_c, d = _measure_pipelined(
+        fps_c, d, _ = bench._measure_pipelined(
             build_orb_hybrid(c), (None, imgs_c, pl, pr, key), N_FRAMES)
         results[f"device_classic_{name}_fps"] = round(fps_c, 1)
         print(f"device-classic {name}: {fps_c:.1f} FPS "
