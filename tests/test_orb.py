@@ -379,3 +379,42 @@ def test_gftt_hybrid_corridor_drive(rng):
     assert np.mean([r["num_inliers"] for r in res.diagnostics]) > 25
     assert rep["final_drift_percent"] < 20.0, rep
     assert rep["ate_m"] < 0.3, rep
+
+
+def test_orb_hybrid_composes_with_landmark_fusion(sample_image_dir):
+    """The device-ORB front end composes with the landmark-fusion accuracy
+    mode (the carried-landmark scan is front-end-agnostic): runs, tracks
+    form, and the solve stays healthy."""
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    from spsvo_tpu.parallel.sharding import build_orb_hybrid
+
+    h, w = 150, 496
+    imgs = np.stack([
+        np.stack([im, np.roll(im, -6, axis=1)])
+        for i in range(6)
+        for im in [_real_image(sample_image_dir, i, hw=(h, w)).astype(
+            np.float32) / 255.0]])
+    cfg = VOConfig(is_classic=True, device_classic=True,
+                   detector_type=DetectorType.ORB,
+                   descriptor_type=DescriptorType.ORB,
+                   image_height=h, image_width=w, max_keypoints=256,
+                   orb_n_levels=2, orb_edge_threshold=16,
+                   ransac_iterations=128, solve_slots=128,
+                   landmark_fusion=True)
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]], np.float32)
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    import dataclasses
+    args = (None, jnp.asarray(imgs), jnp.asarray(P, jnp.float32),
+            jnp.asarray(P_r, jnp.float32), jax.random.PRNGKey(0))
+    world, diag = build_orb_hybrid(cfg)(*args)
+    assert np.isfinite(np.asarray(world)).all()
+    assert np.asarray(diag["num_inliers"]).min() >= 6
+    assert np.asarray(diag["pnp_success"]).all()
+    # the landmark carry is actually engaged: with fusion off the later
+    # poses differ (fused prev-side points change the solve inputs)
+    cfg_off = dataclasses.replace(cfg, landmark_fusion=False)
+    world_off, _ = build_orb_hybrid(cfg_off)(*args)
+    assert not np.allclose(np.asarray(world)[2:], np.asarray(world_off)[2:],
+                           atol=1e-7)
