@@ -311,6 +311,22 @@ def classic_sweep_configs(base: Optional[VOConfig] = None) -> list[VOConfig]:
         for det, desc in pairs]
 
 
+def device_classic_sweep_configs(base: Optional[VOConfig] = None
+                                 ) -> list[VOConfig]:
+    """Beyond-reference sweep rows: the device-resident classic front ends
+    (ops/orb.py) at the flagship resolution and at native KITTI resolution —
+    the classic configs with zero per-frame host work."""
+    base = base or VOConfig()
+    rows = []
+    for det in (DetectorType.ORB, DetectorType.SHI_TOMASI):
+        for (h, w, border) in ((120, 392, 16), (375, 1242, 31)):
+            rows.append(dataclasses.replace(
+                base, is_classic=True, device_classic=True,
+                detector_type=det, descriptor_type=DescriptorType.ORB,
+                image_height=h, image_width=w, orb_edge_threshold=border))
+    return rows
+
+
 def sweep_configs(base: Optional[VOConfig] = None) -> list[VOConfig]:
     """Enumerate the 72-config NN sweep (reference engine_generation.py grid)."""
     base = base or VOConfig()

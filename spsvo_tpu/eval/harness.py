@@ -467,9 +467,11 @@ def run_sweep(frames_fn, P_l: np.ndarray, P_r: np.ndarray,
                 # classic rows use the fused mode (host-detect-all + one
                 # device geometry program): the per-frame API pays this
                 # environment's ~50-100 ms tunnel RTT per frame, which is
-                # not an honest throughput statement (VERDICT r2 weak #5)
-                res = run_sequence_fused(cfg, frames, P_l, P_r,
-                                         mode="classic")
+                # not an honest throughput statement (VERDICT r2 weak #5).
+                # device_classic rows run the fully device-resident ORB.
+                res = run_sequence_fused(
+                    cfg, frames, P_l, P_r,
+                    mode="orb" if cfg.device_classic else "classic")
             else:
                 vo = VisualOdometry(cfg)
                 res = run_sequence(vo, frames, P_l, P_r)

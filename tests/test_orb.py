@@ -418,3 +418,23 @@ def test_orb_hybrid_composes_with_landmark_fusion(sample_image_dir):
     world_off, _ = build_orb_hybrid(cfg_off)(*args)
     assert not np.allclose(np.asarray(world)[2:], np.asarray(world_off)[2:],
                            atol=1e-7)
+
+
+def test_run_sweep_device_classic_row(rng, tmp_path):
+    """run_sweep dispatches device_classic configs to the fully
+    device-resident mode and produces the standard row columns."""
+    from spsvo_tpu.config import device_classic_sweep_configs
+    from spsvo_tpu.eval import harness
+    from spsvo_tpu.eval.synthetic import synthetic_drive
+
+    frames, poses, P_l, P_r = synthetic_drive(rng, n_frames=6)
+    cfg = device_classic_sweep_configs()[0]  # ORB @ 120x392
+    import dataclasses
+    cfg = dataclasses.replace(cfg, max_keypoints=256, ransac_iterations=64,
+                              solve_slots=128, orb_n_levels=2)
+    rows = harness.run_sweep(lambda: list(frames), P_l, P_r, configs=[cfg],
+                             out_json=str(tmp_path / "sweep.json"),
+                             gt_poses=list(poses), max_frames=6)
+    assert len(rows) == 1 and "error" not in rows[0], rows
+    assert rows[0]["config"].startswith("orbtpu_ORB_ORB_120_392")
+    assert rows[0]["fps"] > 0 and "ate_m" in rows[0]

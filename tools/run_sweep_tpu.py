@@ -21,7 +21,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import spsvo_tpu  # noqa: E402
-from spsvo_tpu.config import classic_sweep_configs, sweep_configs  # noqa: E402
+from spsvo_tpu.config import (classic_sweep_configs,  # noqa: E402
+                              device_classic_sweep_configs, sweep_configs)
 from spsvo_tpu.eval import harness  # noqa: E402
 from spsvo_tpu.eval.synthetic import synthetic_drive  # noqa: E402
 
@@ -38,8 +39,11 @@ def main() -> None:
 
     t0 = time.time()
     # the reference's full grid: 72 NN engines + 6 classic configs
-    # (report §4.1.2); classic rows run the fused host-detect-all mode
-    cfgs = sweep_configs() + classic_sweep_configs()
+    # (report §4.1.2); classic rows run the fused host-detect-all mode.
+    # Plus 4 beyond-reference device-classic rows (ops/orb.py: ORB and
+    # GFTT fully on-device, flagship + native resolution).
+    cfgs = (sweep_configs() + classic_sweep_configs()
+            + device_classic_sweep_configs())
     rows = harness.run_sweep(lambda: list(frames), P_l, P_r,
                              configs=cfgs, out_json=out, gt_poses=poses,
                              max_frames=n_frames)
