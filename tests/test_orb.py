@@ -438,3 +438,34 @@ def test_run_sweep_device_classic_row(rng, tmp_path):
     assert len(rows) == 1 and "error" not in rows[0], rows
     assert rows[0]["config"].startswith("orbtpu_ORB_ORB_120_392")
     assert rows[0]["fps"] > 0 and "ate_m" in rows[0]
+
+
+def test_orb_hybrid_featureless_frames_degrade_gracefully():
+    """All-flat frames produce zero FAST corners: the whole chain (matching,
+    chain filter, solve) must stay mask-correct — PnP declared failed, poses
+    fall back to the (identity) prior, nothing NaNs."""
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    from spsvo_tpu.parallel.sharding import build_orb_hybrid
+
+    h, w = 150, 496
+    imgs = jnp.full((6, 2, h, w), 0.43, jnp.float32)
+    cfg = VOConfig(is_classic=True, device_classic=True,
+                   detector_type=DetectorType.ORB,
+                   descriptor_type=DescriptorType.ORB,
+                   image_height=h, image_width=w, max_keypoints=256,
+                   orb_n_levels=2, orb_edge_threshold=16,
+                   ransac_iterations=64, solve_slots=64)
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]], np.float32)
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    world, diag = build_orb_hybrid(cfg)(
+        None, imgs, jnp.asarray(P), jnp.asarray(P_r), jax.random.PRNGKey(0))
+    world = np.asarray(world)
+    assert np.isfinite(world).all()
+    assert not np.asarray(diag["pnp_success"]).any()
+    assert int(np.asarray(diag["num_keypoints_left"]).max()) == 0
+    # prior fallback: with no solves ever accepted, every pose stays at the
+    # identity-prior chain (i.e. no motion invented from garbage)
+    np.testing.assert_allclose(world, np.broadcast_to(np.eye(4), world.shape),
+                               atol=1e-6)
