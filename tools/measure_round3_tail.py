@@ -11,6 +11,12 @@ measurements blocked on real hardware, in priority order:
      reference's 11.6 FPS);
   3. the full bench (BENCH refresh incl. the new device-ORB aux row).
 
+Afterwards (separate runs): `python tools/flops_report.py` regenerates
+docs/EFFICIENCY.md with the new device-classic cost rows (must run on the
+TPU backend — the committed numbers are TPU-compiled), and
+`python tools/run_sweep_tpu.py` refreshes the sweep incl. the 4
+device-classic rows.
+
 Run: `python tools/measure_round3_tail.py [--skip-bench]`
 (probe the tunnel first: a 90s-timeout tiny matmul — see CLAUDE.md).
 """
