@@ -252,6 +252,87 @@ class ClassicVisualOdometry:
     def current_pose(self) -> np.ndarray:
         return self.world_T_cam.copy()
 
+    # -- instrumented mode: real per-stage latency columns -------------------
+    def process_instrumented(self, img_l: np.ndarray, img_r: np.ndarray,
+                             P_l: np.ndarray, P_r: np.ndarray
+                             ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        """Like `process`, but fills the reference's detect/match/solve CSV
+        columns (visual_odometry_node.cpp:246-258) with real per-stage
+        times: detect = host OpenCV (or the device front end, synced by
+        fetch), match/solve = separate jitted dispatches. Same math and
+        PRNG stream as `process` — identical trajectories; the extra
+        dispatches cost host round-trips, so `process` stays the default.
+        """
+        import functools
+
+        from spsvo_tpu.pipeline import match_stage, solve_stage
+
+        cfg = self.cfg
+        if not hasattr(self, "_stage_match"):
+            self._stage_match = jax.jit(functools.partial(
+                match_stage, cfg=cfg, binary_desc=self.binary))
+            self._stage_solve = jax.jit(functools.partial(
+                solve_stage, cfg=cfg))
+            if cfg.device_classic:
+                from spsvo_tpu.ops.orb import orb_frontend_batch
+                dev_detector = ("shi_tomasi" if cfg.detector_type
+                                == DetectorType.SHI_TOMASI else "orb")
+                self._stage_frontend = jax.jit(
+                    lambda images: orb_frontend_batch(
+                        images.astype(jnp.float32) / 255.0,
+                        k=cfg.max_keypoints, n_levels=cfg.orb_n_levels,
+                        scale_factor=cfg.orb_scale_factor,
+                        fast_threshold=cfg.orb_fast_threshold,
+                        border=cfg.orb_edge_threshold,
+                        detector=dev_detector))
+
+        t0 = time.perf_counter()
+        if cfg.image_height > 0 and cfg.image_width > 0:
+            h0, w0 = img_l.shape[:2]
+            img_l = image_ops.preprocess_image_np(
+                img_l, cfg.image_height, cfg.image_width, normalize=False
+            ).astype(np.uint8)
+            img_r = image_ops.preprocess_image_np(
+                img_r, cfg.image_height, cfg.image_width, normalize=False
+            ).astype(np.uint8)
+            P_l = image_ops.update_projection_matrix_np(
+                P_l, h0, w0, cfg.image_height, cfg.image_width)
+            P_r = image_ops.update_projection_matrix_np(
+                P_r, h0, w0, cfg.image_height, cfg.image_width)
+        key = jax.random.fold_in(self._key, self._frame_idx)
+        self._frame_idx += 1
+        if cfg.device_classic:
+            kps = self._stage_frontend(jnp.asarray(np.stack([img_l, img_r])))
+            kp_l = jax.tree.map(lambda a: a[0], kps)
+            kp_r = jax.tree.map(lambda a: a[1], kps)
+            np.asarray(kp_l.xy)  # sync by fetch (axon block_until_ready no-op)
+        else:
+            kp_l = self._detect(img_l)
+            kp_r = self._detect(img_r)
+        t1 = time.perf_counter()
+        stereo_idx, inter_idx = self._stage_match(self.state, kp_l, kp_r)
+        np.asarray(stereo_idx)
+        t2 = time.perf_counter()
+        P_l_j = jnp.asarray(P_l, jnp.float32)
+        P_r_j = jnp.asarray(P_r, jnp.float32)
+        self.state, out = self._stage_solve(
+            self.state, kp_l, kp_r, stereo_idx, inter_idx, P_l_j, P_r_j, key)
+        T = np.asarray(out.T_curr_prev, dtype=np.float64)
+        t3 = time.perf_counter()
+
+        if np.linalg.norm(T[:3, 3]) > cfg.max_velocity_per_frame:
+            T = self.last_valid_T.copy()
+        else:
+            self.last_valid_T = T.copy()
+        self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
+        self.trajectory.append(self.world_T_cam.copy())
+
+        lat = {"detect": (t1 - t0) * 1e3, "match": (t2 - t1) * 1e3,
+               "solve": (t3 - t2) * 1e3, "total": (t3 - t0) * 1e3}
+        info: Dict[str, Any] = {"latency_s": t3 - t0, "stages_ms": lat,
+                                "output": out}
+        return T, info
+
 
 def detect_all_frames(cfg: VOConfig, frames, n_threads: int = 0):
     """Host-detect+describe a whole sequence with threaded OpenCV (cv2

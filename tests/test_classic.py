@@ -132,3 +132,41 @@ def test_unpack_binary_desc_matches_np_unpackbits(rng):
     got = np.asarray(unpack_binary_desc(jnp.asarray(d)))
     want = np.unpackbits(d, axis=-1).astype(np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_classic_process_instrumented_matches_process(sample_image_dir):
+    """The stage-split instrumented mode fills real detect/match/solve
+    columns and reproduces the fused `process` trajectory exactly (same
+    math, same PRNG stream) — host-OpenCV and device-ORB variants."""
+    import os
+
+    import cv2
+
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    from spsvo_tpu.frontend_classic import ClassicVisualOdometry
+
+    files = sorted(os.listdir(sample_image_dir))[:3]
+    imgs = [cv2.imread(os.path.join(sample_image_dir, f),
+                       cv2.IMREAD_GRAYSCALE) for f in files]
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]])
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+
+    for dev in (False, True):
+        cfg = VOConfig(is_classic=True, device_classic=dev,
+                       detector_type=DetectorType.ORB,
+                       descriptor_type=DescriptorType.ORB,
+                       image_height=150, image_width=496, max_keypoints=256,
+                       orb_n_levels=2, orb_edge_threshold=16,
+                       ransac_iterations=64, solve_slots=64)
+        vo_a = ClassicVisualOdometry(cfg)
+        vo_b = ClassicVisualOdometry(cfg)
+        for img in imgs:
+            ir = np.roll(img, -8, axis=1)
+            T_a, _ = vo_a.process(img, ir, P, P_r)
+            T_b, info = vo_b.process_instrumented(img, ir, P, P_r)
+            np.testing.assert_allclose(T_a, T_b, atol=1e-6)
+            lat = info["stages_ms"]
+            assert set(lat) == {"detect", "match", "solve", "total"}
+            assert lat["detect"] > 0 and lat["total"] >= lat["detect"]
