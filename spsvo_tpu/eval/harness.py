@@ -400,7 +400,8 @@ def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
                 description: str = "default",
                 max_frames: Optional[int] = None,
                 mode: str = "frame",
-                viz_dir: Optional[str] = None) -> SequenceResult:
+                viz_dir: Optional[str] = None,
+                instrument_stages: bool = False) -> SequenceResult:
     """The reference's action-goal entry point (kitti_eval_id 0..13).
 
     Requires the KITTI odometry layout under `kitti_root` with sequences
@@ -430,7 +431,7 @@ def run_eval_id(vo, kitti_root: str, kitti_eval_id: int,
         vo, iter(seq), seq.P_l, seq.P_r, results_dir=results_dir,
         description=description, kitti_eval_id=kitti_eval_id,
         latency_dir=latency_dir, sequence_tag=f"seq_{kitti_eval_id}",
-        viz_dir=viz_dir)
+        viz_dir=viz_dir, instrument_stages=instrument_stages)
 
 
 def score_against_ground_truth(poses: List[np.ndarray], gt_file: str

@@ -65,6 +65,10 @@ def cmd_eval(args) -> int:
         print("--mode classic is for classic configs; CNN configs use "
               "--mode hybrid/batch", file=sys.stderr)
         return 2
+    if args.instrument and args.mode != "frame":
+        print("--instrument times the per-frame stage-split programs: use "
+              "--mode frame", file=sys.stderr)
+        return 2
     if cfg.landmark_fusion and args.mode not in ("frame", "hybrid", "orb"):
         print("--landmark-fusion needs the sequential prior chain: use "
               "--mode frame or --mode hybrid (the batch/classic modes "
@@ -96,7 +100,7 @@ def cmd_eval(args) -> int:
                 vo, frames, P, P_r, results_dir=args.results_dir,
                 description=args.description, latency_dir=args.latency_dir,
                 machine_name=cfg.machine_name, sequence_tag="sample",
-                viz_dir=args.viz_dir)
+                viz_dir=args.viz_dir, instrument_stages=args.instrument)
         print(f"{len(res.poses)} frames, {res.fps:.1f} FPS, "
               f"mean {res.mean_total_ms:.1f} ms")
         return 0
@@ -112,7 +116,8 @@ def cmd_eval(args) -> int:
         vo if args.mode == "frame" else cfg,
         args.kitti_root, args.eval_id, results_dir=args.results_dir,
         latency_dir=args.latency_dir, description=args.description,
-        max_frames=args.max_frames, mode=args.mode, viz_dir=args.viz_dir)
+        max_frames=args.max_frames, mode=args.mode, viz_dir=args.viz_dir,
+        instrument_stages=args.instrument)
     print(f"seq {args.eval_id}: {len(res.poses)} frames, "
           f"{res.fps:.1f} FPS")
     if args.ground_truth:
@@ -176,6 +181,11 @@ def main(argv=None) -> int:
     p.add_argument("--ground-truth", default=None,
                    help="KITTI gt pose file to score against")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--instrument", action="store_true",
+                   help="per-frame mode: time detect/match/solve as "
+                        "separate dispatches so the latency CSV columns "
+                        "are real (reference visual_odometry_node.cpp:"
+                        "246-258); slower (one host round-trip per stage)")
     p.add_argument("--viz-dir", default=None,
                    help="write per-frame match/inlier PNGs here (the "
                         "reference's live image topics; frame mode only)")
