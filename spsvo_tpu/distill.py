@@ -159,12 +159,17 @@ def distill_loss(student_fn, s_params, teacher_det: jax.Array,
 
 def build_distill_step(student_fn, teacher_fn, t_params, frames: jax.Array,
                        batch: int, h: int, w: int, lr: float,
-                       sparsity: float = 0.0):
+                       sparsity: float = 0.0, ema: float = 0.0):
     """One jitted distillation step: augment -> teacher forward (frozen) ->
-    student update. Returns step(carry=(params, opt_state), key)."""
+    student update. Returns step(carry=(params, opt_state, ema_params), key).
+
+    `ema > 0` maintains an exponential moving average of the student
+    weights in the carry (validated/exported instead of the raw weights —
+    the standard distillation variance-reduction trick); `ema = 0` keeps
+    ema_params as a live copy so the carry structure is schedule-stable."""
 
     def step(carry, key):
-        params, opt_state = carry
+        params, opt_state, ema_params = carry
         images = augment_batch(key, frames, batch, h, w)
         t_out = teacher_fn(t_params, images)
         t_det = jax.lax.stop_gradient(t_out["output_det"])
@@ -175,8 +180,13 @@ def build_distill_step(student_fn, teacher_fn, t_params, frames: jax.Array,
         tx = make_optimizer(lr, params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # computed unconditionally (ema=0 reduces to a copy of params):
+        # returning `params` itself in two carry slots would alias the same
+        # donated buffer twice and crash the next Execute()
+        ema_params = jax.tree.map(
+            lambda e, p: ema * e + (1.0 - ema) * p, ema_params, params)
         aux["loss"] = loss
-        return (params, opt_state), aux
+        return (params, opt_state, ema_params), aux
 
     return jax.jit(step, donate_argnums=(0,))
 
@@ -230,7 +240,7 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
             lr: float = 1e-3, seed: int = 0, holdout: int = 4,
             log_every: int = 100, frames: Optional[np.ndarray] = None,
             resolutions=None, use_synthetic: bool = True,
-            log=print) -> Tuple[Dict, List[Dict]]:
+            ema: float = 0.0, log=print) -> Tuple[Dict, List[Dict]]:
     """Distill `student_prefix` from the ONNX-imported teacher.
 
     `resolutions`: sequence of (h, w, batch) cycled per step — the
@@ -275,11 +285,12 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
     opt_state = tx.init(s_params)
     step_fns = [build_distill_step(student_fn, teacher_fn, t_params,
                                    train_frames, b_, h_, w_, lr_sched,
-                                   sparsity)
+                                   sparsity, ema=ema)
                 for (h_, w_, b_) in res_list]
 
     history: List[Dict] = []
-    carry = (s_params, opt_state)
+    # ema slot starts as a DISTINCT copy (aliased buffers + donation crash)
+    carry = (s_params, opt_state, jax.tree.map(jnp.copy, s_params))
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     for i in range(steps):
@@ -289,12 +300,13 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
             row = {"step": i, **{k: float(v) for k, v in aux.items()}}
             if i % (10 * log_every) == 0 or i == steps - 1:
                 # validation always at the flagship 120x392 on REAL frames
+                # validate what would be exported: the EMA weights
                 row.update(keypoint_agreement(
-                    student_fn, carry[0], teacher_fn, t_params, val_frames,
+                    student_fn, carry[2], teacher_fn, t_params, val_frames,
                     120, 392))
             row["elapsed_s"] = round(time.time() - t0, 1)
             history.append(row)
             log(f"[{student_prefix}] " + " ".join(
                 f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                 for k, v in row.items()))
-    return carry[0], history
+    return carry[2], history

@@ -59,3 +59,21 @@ def test_sparsity_term_increases_loss():
     l1, _ = D.distill_loss(student_fn, params, det, desc,
                            jnp.zeros((B, 16, 16, 1)), sparsity=1e-2)
     assert float(l1) > float(l0)
+
+
+def test_distill_ema_smoke(rng):
+    """EMA carry: training with ema>0 returns smoothed weights that differ
+    from the raw student and still validate through the agreement metric."""
+    frames = rng.random((5, 64, 160)).astype(np.float32)
+    params, hist = D.distill("superpoint_pretrained", steps=8, batch=2,
+                             h=32, w=96, holdout=2, log_every=4, ema=0.9,
+                             frames=frames, log=lambda *a: None)
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(params))
+    assert {"precision", "recall"} <= set(hist[-1])
+    # ema=0 path still returns the live weights (carry stays structural)
+    p0, _ = D.distill("superpoint_pretrained", steps=2, batch=2,
+                      h=32, w=96, holdout=2, log_every=2, ema=0.0,
+                      frames=frames, log=lambda *a: None)
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(p0))

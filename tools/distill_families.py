@@ -56,6 +56,9 @@ def main() -> None:
     ap.add_argument("--prefix", default=None, help="one family only")
     ap.add_argument("--single-res", action="store_true",
                     help="legacy single-resolution (120x392) training")
+    ap.add_argument("--ema", type=float, default=0.999,
+                    help="EMA decay for the exported student weights "
+                         "(0 disables; validation uses the same weights)")
     args = ap.parse_args()
 
     docs = os.path.join(os.path.dirname(os.path.dirname(
@@ -67,10 +70,11 @@ def main() -> None:
         res = None if args.single_res else D.DEFAULT_RESOLUTIONS
         params, history = D.distill(prefix, steps=args.steps,
                                     batch=args.batch, lr=args.lr,
-                                    resolutions=res)
+                                    resolutions=res, ema=args.ema)
         path = zoo.save_params(prefix, params)
         report = {"prefix": prefix, "teacher": "sp_mbv1",
                   "steps": args.steps, "batch": args.batch, "lr": args.lr,
+                  "ema": args.ema,
                   "resolutions": ("120x392" if args.single_res else
                                   [f"{h}x{w}(b{b})"
                                    for h, w, b in D.DEFAULT_RESOLUTIONS]),
