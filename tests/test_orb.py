@@ -469,3 +469,43 @@ def test_orb_hybrid_featureless_frames_degrade_gracefully():
     # identity-prior chain (i.e. no motion invented from garbage)
     np.testing.assert_allclose(world, np.broadcast_to(np.eye(4), world.shape),
                                atol=1e-6)
+
+
+def test_orb_hybrid_pallas_solver_matches_xla(sample_image_dir, monkeypatch):
+    """The bench's device-ORB row runs use_pallas_solver=True: cover that
+    exact composition (ORB front end -> hoisted hypotheses -> in-scan fused
+    kernel) on CPU via interpret mode and pin it against the XLA solve."""
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    from spsvo_tpu.parallel.sharding import build_orb_hybrid
+
+    h, w = 150, 496
+    imgs = np.stack([
+        np.stack([im, np.roll(im, -6, axis=1)])
+        for i in range(6)
+        for im in [_real_image(sample_image_dir, i, hw=(h, w)).astype(
+            np.float32) / 255.0]])
+    base = dict(is_classic=True, device_classic=True,
+                detector_type=DetectorType.ORB,
+                descriptor_type=DescriptorType.ORB,
+                image_height=h, image_width=w, max_keypoints=256,
+                orb_n_levels=2, orb_edge_threshold=16,
+                ransac_iterations=128, solve_slots=128,
+                ransac_chunk=0, lm_unroll=6)
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]], np.float32)
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    args = (None, jnp.asarray(imgs), jnp.asarray(P), jnp.asarray(P_r),
+            jax.random.PRNGKey(0))
+    w_xla, diag_xla = build_orb_hybrid(VOConfig(**base))(*args)
+
+    monkeypatch.setenv("SPSVO_PALLAS_INTERPRET", "1")
+    from spsvo_tpu.ops.solver import pallas_solver_eligible
+    cfg_k = VOConfig(use_pallas_solver=True, **base)
+    assert pallas_solver_eligible(cfg_k)
+    w_kernel, diag_k = build_orb_hybrid(cfg_k)(*args)
+
+    np.testing.assert_allclose(np.asarray(w_kernel), np.asarray(w_xla),
+                               atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(diag_k["pnp_success"]),
+                                  np.asarray(diag_xla["pnp_success"]))
