@@ -172,6 +172,7 @@ class ClassicVisualOdometry:
                 return features_step(state, kp_l, kp_r, P_l, P_r, key,
                                      cfg=cfg, binary_desc=True)
 
+            self._dev_step_fn = dev_step  # un-jitted: process_stream scans it
             self._dev_step = jax.jit(dev_step, donate_argnums=(0,))
         else:
             self.detector = make_detector(cfg.detector_type)
@@ -251,6 +252,78 @@ class ClassicVisualOdometry:
 
     def current_pose(self) -> np.ndarray:
         return self.world_T_cam.copy()
+
+    # -- streaming: online semantics, chunked on-device scans ----------------
+    def process_stream(self, frames, P_l: np.ndarray, P_r: np.ndarray,
+                       chunk: int = 16):
+        """Device-classic streaming (mirrors `VisualOdometry.process_stream`):
+        an iterator of (2, H, W) uint8/float stereo frames is processed in
+        on-device chunks — ORB detection, matching and the solve scan all in
+        one program per chunk, exact online semantics, uint8 transfer.
+        Yields (frame_idx, T_curr_prev). Requires `device_classic` (the
+        host-OpenCV path is detect-bound per frame and gains nothing from
+        chunking)."""
+        cfg = self.cfg
+        if not cfg.device_classic:
+            raise NotImplementedError(
+                "process_stream needs device_classic=True (host OpenCV "
+                "detection cannot run inside the device scan)")
+
+        if not hasattr(self, "_chunk_scan"):
+            def chunk_scan(state, images, real, P_l, P_r, key):
+                keys = jax.random.split(key, images.shape[0])
+
+                def body(st, xs):
+                    imgs, k, is_real = xs
+                    st2, out = self._dev_step_fn(st, imgs, P_l, P_r, k)
+                    st2 = jax.tree.map(
+                        lambda a, b: jnp.where(is_real, a, b), st2, st)
+                    return st2, out.T_curr_prev
+
+                return jax.lax.scan(body, state, (images, keys, real))
+
+            self._chunk_scan = jax.jit(chunk_scan, donate_argnums=(0,))
+
+        P_l_j = jnp.asarray(P_l, jnp.float32)
+        P_r_j = jnp.asarray(P_r, jnp.float32)
+        buf: list = []
+
+        def flush():
+            nonlocal buf
+            if not buf:
+                return []
+            idxs = [i for i, _ in buf]
+            imgs = jnp.asarray(np.stack([f for _, f in buf]))
+            real = jnp.asarray(np.array([i >= 0 for i in idxs]))
+            key = jax.random.fold_in(self._key, self._frame_idx)
+            self._frame_idx += 1
+            self.state, T_seq = self._chunk_scan(
+                self.state, imgs, real, P_l_j, P_r_j, key)
+            out = []
+            for i, T in zip(idxs, np.asarray(T_seq, dtype=np.float64)):
+                if i < 0:
+                    continue  # tail padding
+                if np.linalg.norm(T[:3, 3]) > cfg.max_velocity_per_frame:
+                    T = self.last_valid_T.copy()
+                else:
+                    self.last_valid_T = T.copy()
+                self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
+                self.trajectory.append(self.world_T_cam.copy())
+                out.append((i, T))
+            buf = []
+            return out
+
+        next_idx = 0
+        for item in frames:
+            idx, frame = item if isinstance(item, tuple) else (next_idx, item)
+            next_idx = idx + 1
+            buf.append((idx, np.asarray(frame)))
+            if len(buf) == chunk:
+                yield from flush()
+        if buf:
+            while len(buf) < chunk:
+                buf.append((-1, buf[-1][1]))  # duplicate-last padding
+            yield from flush()
 
     # -- instrumented mode: real per-stage latency columns -------------------
     def process_instrumented(self, img_l: np.ndarray, img_r: np.ndarray,

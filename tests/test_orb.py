@@ -509,3 +509,43 @@ def test_orb_hybrid_pallas_solver_matches_xla(sample_image_dir, monkeypatch):
                                atol=2e-3)
     np.testing.assert_array_equal(np.asarray(diag_k["pnp_success"]),
                                   np.asarray(diag_xla["pnp_success"]))
+
+
+def test_classic_device_process_stream(sample_image_dir):
+    """Device-classic streaming (chunked on-device scans): every frame is
+    yielded in order across chunk boundaries (incl. the padded tail chunk),
+    trajectory stays finite, and the host-OpenCV path refuses cleanly.
+    (The PRNG stream is keyed per chunk, not per frame, so bitwise equality
+    with the per-frame API is not expected — same property as
+    VisualOdometry.process_stream.)"""
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    from spsvo_tpu.frontend_classic import ClassicVisualOdometry
+
+    h, w = 150, 496
+    frames = [np.stack([im, np.roll(im, -8, axis=1)])
+              for i in range(5)
+              for im in [_real_image(sample_image_dir, i, hw=(h, w))]]
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]])
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    cfg = VOConfig(is_classic=True, device_classic=True,
+                   detector_type=DetectorType.ORB,
+                   descriptor_type=DescriptorType.ORB,
+                   image_height=0, image_width=0, max_keypoints=256,
+                   orb_n_levels=2, orb_edge_threshold=16,
+                   ransac_iterations=64, solve_slots=64)
+    vo_b = ClassicVisualOdometry(cfg)
+    got = list(vo_b.process_stream(iter(frames), P, P_r, chunk=3))
+    assert [i for i, _ in got] == list(range(5))
+    traj = np.stack(vo_b.trajectory)
+    assert traj.shape == (5, 4, 4) and np.isfinite(traj).all()
+    # real forward KITTI motion: the chain actually moves
+    assert np.linalg.norm(traj[-1][:3, 3]) > 0.5
+    # host-OpenCV path refuses (detection cannot join the device scan)
+    import dataclasses
+    vo_h = ClassicVisualOdometry(dataclasses.replace(cfg,
+                                                     device_classic=False))
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        list(vo_h.process_stream(iter(frames), P, P_r))
