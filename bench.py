@@ -178,7 +178,34 @@ def _measure_pipelined(fn, args, n_frames, depth=4, reps=3):
     return n_frames / best, diags, world
 
 
+def _probe_tpu(timeout_s: float = 240.0) -> None:
+    """Fail fast if the axon tunnel is down.
+
+    When the tunnel drops, `import jax` HANGS at backend init (observed
+    2026-08-17/18: a multi-hour outage) — a hung bench gives the driver no
+    diagnostics. Probe with a tiny matmul in a SUBPROCESS under a timeout
+    (the parent must not import jax before the verdict) and exit non-zero
+    with a clear message if the device is unreachable. The probe reuses the
+    persistent XLA cache, so the healthy-path cost is a few seconds."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp, numpy as np;"
+            "x = jnp.ones((128,128));"
+            "print(float(np.asarray(x @ x)[0,0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        log(f"TPU probe timed out after {timeout_s:.0f}s: the axon tunnel "
+            "is down (backend init hangs). No benchmark numbers can be "
+            "produced; see BENCH_NOTES.md for the last recorded run.")
+        sys.exit(3)
+    if r.returncode != 0:
+        log("TPU probe failed:\n" + (r.stderr or "")[-2000:])
+        sys.exit(3)
+
+
 def main():
+    _probe_tpu()
     import jax
     import jax.numpy as jnp
 
