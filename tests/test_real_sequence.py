@@ -15,7 +15,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from spsvo_tpu.config import VOConfig
+from spsvo_tpu.config import (DescriptorType, DetectorType,
+                              VOConfig)
 from spsvo_tpu.models import zoo
 from spsvo_tpu.ops.image import preprocess_image_np
 from spsvo_tpu.ops.postprocess import extract_keypoints
@@ -142,3 +143,39 @@ def test_real_sequence_landmark_fusion(sample_image_dir):
     assert max(track_len) > 2.5, track_len
     grow = [t for t in track_len if t > 0]
     assert np.mean(grow[-5:]) > np.mean(grow[:5]) + 0.5, track_len
+
+
+def test_real_sequence_orb_matching_corpus(sample_image_dir):
+    """Device-ORB edition of the matching-corpus regression: the 21 real
+    consecutive pairs must match richly and the matched flow must carry the
+    forward-motion radial-expansion signature — evidence the TPU-native
+    classic front end tracks the REAL camera motion, like the CNN one."""
+    from spsvo_tpu.ops.orb import orb_frontend_batch
+
+    raw = _load_raw(sample_image_dir)
+    cfg = VOConfig(is_classic=True, device_classic=True,
+                   detector_type=DetectorType.ORB,
+                   descriptor_type=DescriptorType.ORB,
+                   image_height=0, image_width=0, max_keypoints=512)
+    imgs = jnp.asarray(np.stack(raw).astype(np.float32) / 255.0)
+    kps = orb_frontend_batch(imgs, k=512)
+    nk = np.asarray(kps.valid).sum(1)
+    assert nk.min() >= 300, nk
+
+    h, w = raw[0].shape
+    mfn = jax.jit(lambda a, b: _match(a, b, cfg, binary=True).idx)
+    n_matches, flows = [], []
+    cx, cy = w / 2, h / 2
+    for i in range(len(raw) - 1):
+        curr = jax.tree.map(lambda x: x[i + 1], kps)
+        prev = jax.tree.map(lambda x: x[i], kps)
+        idx = np.asarray(mfn(curr, prev))
+        m = idx >= 0
+        n_matches.append(int(m.sum()))
+        xy_c = np.asarray(curr.xy)[m]
+        xy_p = np.asarray(prev.xy)[idx[m]]
+        r_c = np.hypot(xy_c[:, 0] - cx, xy_c[:, 1] - cy)
+        r_p = np.hypot(xy_p[:, 0] - cx, xy_p[:, 1] - cy)
+        flows.append(float(np.median(r_c - r_p)))
+    assert min(n_matches) >= 100, n_matches
+    assert np.mean(np.array(flows) > 0) > 0.9, flows
