@@ -28,6 +28,14 @@ from spsvo_tpu.eval.synthetic import synthetic_drive  # noqa: E402
 
 
 def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--filter", default="",
+                    help="substring filter on config_string (e.g. 'orbtpu' "
+                         "to refresh only the device-classic rows); "
+                         "filtered runs merge into existing sweep_results")
+    flags = ap.parse_args()
+
     rng = np.random.default_rng(42)
     n_frames = int(os.environ.get("SWEEP_FRAMES", "12"))
     frames, poses, P_l, P_r = synthetic_drive(rng, n_frames=n_frames)
@@ -44,9 +52,31 @@ def main() -> None:
     # GFTT fully on-device, flagship + native resolution).
     cfgs = (sweep_configs() + classic_sweep_configs()
             + device_classic_sweep_configs())
+    if flags.filter:
+        cfgs = [c for c in cfgs if flags.filter in c.config_string]
+        print(f"filter {flags.filter!r}: {len(cfgs)} configs")
     rows = harness.run_sweep(lambda: list(frames), P_l, P_r,
                              configs=cfgs, out_json=out, gt_poses=poses,
                              max_frames=n_frames)
+    if flags.filter and os.path.exists(out):
+        # merge the refreshed rows into the existing full-grid results
+        import json
+        with open(out) as f:
+            fresh = {r["config"]: r for r in json.load(f)}
+        full = {}
+        try:
+            import subprocess
+            prev = subprocess.run(
+                ["git", "show", "HEAD:docs/sweep_results.json"],
+                capture_output=True, text=True, cwd=docs)
+            if prev.returncode == 0:
+                full = {r["config"]: r for r in json.loads(prev.stdout)}
+        except Exception:
+            pass
+        full.update(fresh)
+        with open(out, "w") as f:
+            json.dump(list(full.values()), f, indent=1)
+        print(f"merged {len(fresh)} refreshed rows into {len(full)} total")
     ok = [r for r in rows if "error" not in r]
     print(f"{len(ok)}/{len(rows)} configs ok in {time.time()-t0:.0f}s "
           f"-> {out}")
