@@ -95,15 +95,18 @@ def synthetic_training_frames(seed: int = 0, n_corridor: int = 24,
 
 
 def augment_batch(key: jax.Array, frames: jax.Array, batch: int, h: int,
-                  w: int) -> jax.Array:
+                  w: int, clean_prob: float = 0.0) -> jax.Array:
     """(B, h, w, 1) augmented crops from full-resolution frames.
 
     Per sample: random source frame, random crop, random homography warp
     (scale/rotation/translation/perspective), brightness/contrast jitter,
-    additive noise.
+    additive noise. With probability `clean_prob` a sample skips the warp
+    and photometric jitter entirely (plain crop): the held-out agreement
+    metric scores CLEAN real frames, and a student that only ever saw
+    warped/jittered inputs pays a distribution-shift tax exactly there.
     """
     n, H, W = frames.shape
-    ks = jax.random.split(key, 7)
+    ks = jax.random.split(key, 8)
     fidx = jax.random.randint(ks[0], (batch,), 0, n)
     y0 = jax.random.randint(ks[1], (batch,), 0, max(H - h, 0) + 1)
     x0 = jax.random.randint(ks[2], (batch,), 0, max(W - w, 0) + 1)
@@ -125,22 +128,34 @@ def augment_batch(key: jax.Array, frames: jax.Array, batch: int, h: int,
                             maxval=0.15)
     noise = 0.02 * jax.random.normal(ks[6], warped.shape)
     out = jnp.clip(warped * bc + br + noise, 0.0, 1.0)
+    if clean_prob > 0.0:
+        is_clean = jax.random.bernoulli(ks[7], clean_prob, (batch, 1, 1, 1))
+        out = jnp.where(is_clean, crops[..., None], out)
     return out
 
 
 def distill_loss(student_fn, s_params, teacher_det: jax.Array,
                  teacher_desc: jax.Array, images: jax.Array,
-                 sparsity: float = 0.0,
-                 peak_weight: float = 4.0) -> Tuple[jax.Array, Dict]:
+                 sparsity: float = 0.0, peak_weight: float = 4.0,
+                 temperature: float = 1.0) -> Tuple[jax.Array, Dict]:
     out = student_fn(s_params, images)
     # detector: KL(teacher || student) over the 65-way cell distribution,
     # weighted toward keypoint-bearing cells: most cells are
     # dustbin-dominated background, so a flat mean under-trains exactly the
     # peaks the keypoint-agreement metric measures. weight = 1 + pw * P(not
-    # dustbin) under the teacher.
+    # dustbin) under the teacher (always at T=1 — the weighting semantics
+    # must not change with the KD temperature).
     t_prob = jax.nn.softmax(teacher_det, axis=-1)
-    s_logp = jax.nn.log_softmax(out["output_det"], axis=-1)
-    kl = jnp.sum(t_prob * (jnp.log(t_prob + 1e-9) - s_logp), axis=-1)
+    if temperature != 1.0:
+        # classic KD softening: KL between T-scaled distributions, times
+        # T^2 so gradient magnitude stays comparable across temperatures
+        t_prob_T = jax.nn.softmax(teacher_det / temperature, axis=-1)
+        s_logp = jax.nn.log_softmax(out["output_det"] / temperature, axis=-1)
+        kl = (temperature ** 2) * jnp.sum(
+            t_prob_T * (jnp.log(t_prob_T + 1e-9) - s_logp), axis=-1)
+    else:
+        s_logp = jax.nn.log_softmax(out["output_det"], axis=-1)
+        kl = jnp.sum(t_prob * (jnp.log(t_prob + 1e-9) - s_logp), axis=-1)
     wcell = 1.0 + peak_weight * (1.0 - t_prob[..., -1])
     l_det = jnp.sum(kl * wcell) / jnp.sum(wcell)
     # descriptor: cosine distance between unit vectors (both L2-normalised
@@ -159,7 +174,9 @@ def distill_loss(student_fn, s_params, teacher_det: jax.Array,
 
 def build_distill_step(student_fn, teacher_fn, t_params, frames: jax.Array,
                        batch: int, h: int, w: int, lr: float,
-                       sparsity: float = 0.0, ema: float = 0.0):
+                       sparsity: float = 0.0, ema: float = 0.0,
+                       clean_prob: float = 0.0, peak_weight: float = 4.0,
+                       temperature: float = 1.0):
     """One jitted distillation step: augment -> teacher forward (frozen) ->
     student update. Returns step(carry=(params, opt_state, ema_params), key).
 
@@ -170,13 +187,16 @@ def build_distill_step(student_fn, teacher_fn, t_params, frames: jax.Array,
 
     def step(carry, key):
         params, opt_state, ema_params = carry
-        images = augment_batch(key, frames, batch, h, w)
+        images = augment_batch(key, frames, batch, h, w,
+                               clean_prob=clean_prob)
         t_out = teacher_fn(t_params, images)
         t_det = jax.lax.stop_gradient(t_out["output_det"])
         t_desc = jax.lax.stop_gradient(t_out["output_desc"])
         (loss, aux), grads = jax.value_and_grad(
             lambda p: distill_loss(student_fn, p, t_det, t_desc, images,
-                                   sparsity), has_aux=True)(params)
+                                   sparsity, peak_weight=peak_weight,
+                                   temperature=temperature),
+            has_aux=True)(params)
         tx = make_optimizer(lr, params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -240,7 +260,9 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
             lr: float = 1e-3, seed: int = 0, holdout: int = 4,
             log_every: int = 100, frames: Optional[np.ndarray] = None,
             resolutions=None, use_synthetic: bool = True,
-            ema: float = 0.0, log=print) -> Tuple[Dict, List[Dict]]:
+            ema: float = 0.0, clean_prob: float = 0.0,
+            peak_weight: float = 4.0, temperature: float = 1.0,
+            select_best: bool = True, log=print) -> Tuple[Dict, List[Dict]]:
     """Distill `student_prefix` from the ONNX-imported teacher.
 
     `resolutions`: sequence of (h, w, batch) cycled per step — the
@@ -251,8 +273,16 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
     `use_synthetic` appends corridor/drive renders to the real frames
     (training pool only — validation stays real imagery).
 
+    `clean_prob` / `peak_weight` / `temperature` tune the augmentation and
+    KD loss (see augment_batch / distill_loss). `select_best` returns the
+    validation checkpoint with the highest min(precision, recall) instead
+    of the final weights — the held-out metric is evaluated every
+    10*log_every steps anyway, so the snapshot is free, and the export is
+    what the verdict bar measures.
+
     Returns (student_params, history); history rows carry step/loss plus a
-    held-out keypoint-agreement checkpoint every 10*log_every steps.
+    held-out keypoint-agreement checkpoint every 10*log_every steps. The
+    final row records `best_step`/`best_score` when select_best is on.
     """
     sparsity = 1e-4 if student_prefix == "sp_sparse" else 0.0
     teacher_fn, t_params = zoo.load_model(teacher_prefix)
@@ -285,7 +315,9 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
     opt_state = tx.init(s_params)
     step_fns = [build_distill_step(student_fn, teacher_fn, t_params,
                                    train_frames, b_, h_, w_, lr_sched,
-                                   sparsity, ema=ema)
+                                   sparsity, ema=ema, clean_prob=clean_prob,
+                                   peak_weight=peak_weight,
+                                   temperature=temperature)
                 for (h_, w_, b_) in res_list]
 
     history: List[Dict] = []
@@ -293,6 +325,7 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
     carry = (s_params, opt_state, jax.tree.map(jnp.copy, s_params))
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
+    best_score, best_step, best_params = -1.0, -1, None
     for i in range(steps):
         key, sub = jax.random.split(key)
         carry, aux = step_fns[i % len(step_fns)](carry, sub)
@@ -304,9 +337,20 @@ def distill(student_prefix: str, *, teacher_prefix: str = "sp_mbv1",
                 row.update(keypoint_agreement(
                     student_fn, carry[2], teacher_fn, t_params, val_frames,
                     120, 392))
+                score = min(row["precision"], row["recall"])
+                if select_best and score > best_score:
+                    best_score, best_step = score, i
+                    # snapshot to host: the carry buffers are donated, so a
+                    # device reference would be invalidated next step
+                    best_params = jax.tree.map(
+                        lambda v: np.asarray(v), carry[2])
             row["elapsed_s"] = round(time.time() - t0, 1)
             history.append(row)
             log(f"[{student_prefix}] " + " ".join(
                 f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
                 for k, v in row.items()))
+    if select_best and best_params is not None:
+        history[-1]["best_step"] = best_step
+        history[-1]["best_score"] = best_score
+        return {k: jnp.asarray(v) for k, v in best_params.items()}, history
     return carry[2], history

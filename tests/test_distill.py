@@ -17,6 +17,58 @@ def test_augment_batch_shapes_and_range(rng):
     assert float(jnp.abs(out - out2).max()) > 1e-3
 
 
+def test_augment_batch_clean_prob():
+    """clean_prob=1 keeps plain crops: a constant image stays exactly
+    constant (no warp border, no photometric jitter, no noise)."""
+    frames = jnp.full((3, 64, 96), 0.5, jnp.float32)
+    clean = D.augment_batch(jax.random.PRNGKey(0), frames, batch=8,
+                            h=32, w=48, clean_prob=1.0)
+    assert float(jnp.abs(clean - 0.5).max()) == 0.0
+    noisy = D.augment_batch(jax.random.PRNGKey(0), frames, batch=8,
+                            h=32, w=48, clean_prob=0.0)
+    assert float(jnp.abs(noisy - 0.5).max()) > 1e-3
+
+
+def test_distill_loss_temperature():
+    """KD temperature: still zero for an identical student, and a finite,
+    different value for a mismatched one."""
+    B, hc, wc = 1, 3, 4
+    rng = np.random.default_rng(1)
+    det = jnp.asarray(rng.normal(size=(B, hc, wc, 65)).astype(np.float32))
+    desc = rng.normal(size=(B, hc, wc, 256)).astype(np.float32)
+    desc = jnp.asarray(desc / np.linalg.norm(desc, axis=-1, keepdims=True))
+
+    def same_fn(p, x):
+        return {"output_det": det, "output_desc": desc}
+
+    l_same, aux = D.distill_loss(same_fn, {}, det, desc,
+                                 jnp.zeros((B, 24, 32, 1)), temperature=2.0)
+    assert float(aux["det_kl"]) == pytest.approx(0.0, abs=1e-5)
+
+    det2 = det + 0.5
+
+    def off_fn(p, x):
+        return {"output_det": det2, "output_desc": desc}
+
+    l1, _ = D.distill_loss(off_fn, {}, det, desc,
+                           jnp.zeros((B, 24, 32, 1)), temperature=1.0)
+    l2, _ = D.distill_loss(off_fn, {}, det, desc,
+                           jnp.zeros((B, 24, 32, 1)), temperature=2.0)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert float(l1) != pytest.approx(float(l2))
+
+
+def test_distill_select_best_records_checkpoint(rng):
+    frames = rng.random((5, 64, 160)).astype(np.float32)
+    params, hist = D.distill("superpoint_pretrained", steps=6, batch=2,
+                             h=32, w=96, holdout=2, log_every=2,
+                             clean_prob=0.25, select_best=True,
+                             frames=frames, log=lambda *a: None)
+    assert "best_step" in hist[-1] and hist[-1]["best_score"] >= 0.0
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(params))
+
+
 def test_distill_loss_zero_for_identical_teacher():
     """A student that exactly reproduces the teacher's outputs has zero
     descriptor loss and KL equal to 0."""

@@ -59,6 +59,15 @@ def main() -> None:
     ap.add_argument("--ema", type=float, default=0.999,
                     help="EMA decay for the exported student weights "
                          "(0 disables; validation uses the same weights)")
+    ap.add_argument("--clean-prob", type=float, default=0.25,
+                    help="fraction of training samples left un-warped/"
+                         "un-jittered (matches the clean validation frames)")
+    ap.add_argument("--peak-weight", type=float, default=4.0)
+    ap.add_argument("--temperature", type=float, default=1.0,
+                    help="KD temperature for the detector KL")
+    ap.add_argument("--no-select-best", action="store_true",
+                    help="export the final weights instead of the best "
+                         "held-out checkpoint")
     args = ap.parse_args()
 
     docs = os.path.join(os.path.dirname(os.path.dirname(
@@ -70,11 +79,18 @@ def main() -> None:
         res = None if args.single_res else D.DEFAULT_RESOLUTIONS
         params, history = D.distill(prefix, steps=args.steps,
                                     batch=args.batch, lr=args.lr,
-                                    resolutions=res, ema=args.ema)
+                                    resolutions=res, ema=args.ema,
+                                    clean_prob=args.clean_prob,
+                                    peak_weight=args.peak_weight,
+                                    temperature=args.temperature,
+                                    select_best=not args.no_select_best)
         path = zoo.save_params(prefix, params)
         report = {"prefix": prefix, "teacher": "sp_mbv1",
                   "steps": args.steps, "batch": args.batch, "lr": args.lr,
-                  "ema": args.ema,
+                  "ema": args.ema, "clean_prob": args.clean_prob,
+                  "peak_weight": args.peak_weight,
+                  "temperature": args.temperature,
+                  "select_best": not args.no_select_best,
                   "resolutions": ("120x392" if args.single_res else
                                   [f"{h}x{w}(b{b})"
                                    for h, w, b in D.DEFAULT_RESOLUTIONS]),

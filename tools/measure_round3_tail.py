@@ -17,6 +17,15 @@ TPU backend — the committed numbers are TPU-compiled), and
 `python tools/run_sweep_tpu.py` refreshes the sweep incl. the 4
 device-classic rows.
 
+Then the distillation-fidelity refresh (VERDICT r2 item 3's 0.85 bar,
+round-3 recipe additions: clean_prob, best-checkpoint selection, KD
+temperature knob):
+  python tools/distill_families.py --steps 12000   # ~TPU-hours; per-family
+  python tools/family_accuracy.py                  # drift-ordering gate
+  for f in superpoint_pretrained sp_sparse sp_resnet18; do \
+      python tools/run_sweep_tpu.py --filter $f; done   # distilled rows
+so the drift ordering is re-validated with the new weights.
+
 Run: `python tools/measure_round3_tail.py [--skip-bench]`
 (probe the tunnel first: a 90s-timeout tiny matmul — see CLAUDE.md).
 """
