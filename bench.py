@@ -185,10 +185,16 @@ def _probe_tpu(timeout_s: float = 240.0) -> None:
     2026-08-17/18: a multi-hour outage) — a hung bench gives the driver no
     diagnostics. Probe with a tiny matmul in a SUBPROCESS under a timeout
     (the parent must not import jax before the verdict) and exit non-zero
-    with a clear message if the device is unreachable. The probe reuses the
-    persistent XLA cache, so the healthy-path cost is a few seconds."""
+    with a clear message if the device is unreachable. The probe imports
+    spsvo_tpu first so it reuses the persistent XLA cache (the cache dir is
+    configured on package import, not by the environment) — without it
+    every probe would pay a fresh multi-minute axon compile and a healthy
+    tunnel could read as down."""
     import subprocess
-    code = ("import jax, jax.numpy as jnp, numpy as np;"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (f"import sys; sys.path.insert(0, {repo!r});"
+            "import spsvo_tpu;"
+            "import jax, jax.numpy as jnp, numpy as np;"
             "x = jnp.ones((128,128));"
             "print(float(np.asarray(x @ x)[0,0]))")
     try:

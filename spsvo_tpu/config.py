@@ -242,6 +242,14 @@ class VOConfig:
             raise ValueError("model_batch_size must be 1 or 2")
         if self.device_classic and not self.is_classic:
             raise ValueError("device_classic requires is_classic=True")
+        if self.device_classic and not self.descriptor_type.is_binary:
+            # the device front end always emits 256-bit steered-BRIEF; a
+            # float descriptor_type would be silently ignored (and the
+            # instrumented path would match with the wrong metric)
+            raise ValueError(
+                "device_classic emits steered-BRIEF (binary) descriptors; "
+                f"descriptor_type={self.descriptor_type.value} is not "
+                "supported on the device path")
         if not 0 <= self.refinement_degree <= 4:
             raise ValueError("refinement_degree must be in [0, 4]")
 

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
 from spsvo_tpu.ops import image as image_ops
-from spsvo_tpu.pipeline import Keypoints, VOState, features_step, init_state
+from spsvo_tpu.pipeline import (Keypoints, VOState, apply_pose_update,
+                                features_step, init_state)
 
 
 def _cv2_factory(name: str):
@@ -159,10 +160,13 @@ class ClassicVisualOdometry:
                             if cfg.detector_type == DetectorType.SHI_TOMASI
                             else "orb")
 
-            def dev_step(state, images, P_l, P_r, key):
-                # images: (2, H, W) uint8 — normalised on device
+            def dev_step(state, images, P_l, P_r, key, normalize=True):
+                # images: (2, H, W) uint8 (normalize=True, the default:
+                # /255 on device) or float already in [0, 1]
+                # (normalize=False — process_stream's float-input path)
+                x = images.astype(jnp.float32)
                 kps = orb_frontend_batch(
-                    images.astype(jnp.float32) / 255.0,
+                    x / 255.0 if normalize else x,
                     k=cfg.max_keypoints, n_levels=cfg.orb_n_levels,
                     scale_factor=cfg.orb_scale_factor,
                     fast_threshold=cfg.orb_fast_threshold,
@@ -236,12 +240,7 @@ class ClassicVisualOdometry:
         T = np.asarray(out.T_curr_prev, dtype=np.float64)
         t1 = time.perf_counter()
 
-        if np.linalg.norm(T[:3, 3]) > cfg.max_velocity_per_frame:
-            T = self.last_valid_T.copy()
-        else:
-            self.last_valid_T = T.copy()
-        self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
-        self.trajectory.append(self.world_T_cam.copy())
+        T = apply_pose_update(self, T)
 
         info: Dict[str, Any] = {"latency_s": t1 - t0}
         if want_diagnostics:
@@ -257,12 +256,16 @@ class ClassicVisualOdometry:
     def process_stream(self, frames, P_l: np.ndarray, P_r: np.ndarray,
                        chunk: int = 16):
         """Device-classic streaming (mirrors `VisualOdometry.process_stream`):
-        an iterator of (2, H, W) uint8/float stereo frames is processed in
-        on-device chunks — ORB detection, matching and the solve scan all in
-        one program per chunk, exact online semantics, uint8 transfer.
-        Yields (frame_idx, T_curr_prev). Requires `device_classic` (the
-        host-OpenCV path is detect-bound per frame and gains nothing from
-        chunking)."""
+        an iterator of PREPROCESSED (2, H, W) stereo frames — already at the
+        config resolution, with `P_l`/`P_r` rescaled to match (exactly like
+        `VisualOdometry.process_stream`; `ops.image.preprocess_image_np` +
+        `update_projection_matrix_np` do both) — is processed in on-device
+        chunks: ORB detection, matching and the solve scan all in one
+        program per chunk, exact online semantics. uint8 frames travel as
+        uint8 (4x less tunnel traffic) and are normalised on device; float
+        frames must already be in [0, 1]. Yields (frame_idx, T_curr_prev).
+        Requires `device_classic` (the host-OpenCV path is detect-bound per
+        frame and gains nothing from chunking)."""
         cfg = self.cfg
         if not cfg.device_classic:
             raise NotImplementedError(
@@ -271,11 +274,15 @@ class ClassicVisualOdometry:
 
         if not hasattr(self, "_chunk_scan"):
             def chunk_scan(state, images, real, P_l, P_r, key):
+                # dtype is static under jit: uint8 feeds normalise on
+                # device, float feeds are already [0, 1]
+                norm = images.dtype == jnp.uint8
                 keys = jax.random.split(key, images.shape[0])
 
                 def body(st, xs):
                     imgs, k, is_real = xs
-                    st2, out = self._dev_step_fn(st, imgs, P_l, P_r, k)
+                    st2, out = self._dev_step_fn(st, imgs, P_l, P_r, k,
+                                                 normalize=norm)
                     st2 = jax.tree.map(
                         lambda a, b: jnp.where(is_real, a, b), st2, st)
                     return st2, out.T_curr_prev
@@ -303,12 +310,7 @@ class ClassicVisualOdometry:
             for i, T in zip(idxs, np.asarray(T_seq, dtype=np.float64)):
                 if i < 0:
                     continue  # tail padding
-                if np.linalg.norm(T[:3, 3]) > cfg.max_velocity_per_frame:
-                    T = self.last_valid_T.copy()
-                else:
-                    self.last_valid_T = T.copy()
-                self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
-                self.trajectory.append(self.world_T_cam.copy())
+                T = apply_pose_update(self, T)
                 out.append((i, T))
             buf = []
             return out
@@ -317,7 +319,18 @@ class ClassicVisualOdometry:
         for item in frames:
             idx, frame = item if isinstance(item, tuple) else (next_idx, item)
             next_idx = idx + 1
-            buf.append((idx, np.asarray(frame)))
+            frame = np.asarray(frame)
+            if cfg.image_height > 0 and frame.shape[-2:] != (
+                    cfg.image_height, cfg.image_width):
+                # unlike process(), the stream cannot preprocess per frame
+                # (the scan is compiled at one shape) — reject instead of
+                # silently running at the wrong resolution with stale P
+                raise ValueError(
+                    "process_stream expects frames preprocessed to the "
+                    f"config resolution {cfg.image_height}x{cfg.image_width}"
+                    f", got {frame.shape[-2:]}; use ops.image."
+                    "preprocess_image_np + update_projection_matrix_np")
+            buf.append((idx, frame))
             if len(buf) == chunk:
                 yield from flush()
         if buf:
@@ -342,8 +355,12 @@ class ClassicVisualOdometry:
 
         cfg = self.cfg
         if not hasattr(self, "_stage_match"):
+            # the device front end always emits 256-bit steered-BRIEF
+            # descriptors regardless of cfg.descriptor_type — match what
+            # the fused dev_step hardcodes, or the two paths diverge
             self._stage_match = jax.jit(functools.partial(
-                match_stage, cfg=cfg, binary_desc=self.binary))
+                match_stage, cfg=cfg,
+                binary_desc=True if cfg.device_classic else self.binary))
             self._stage_solve = jax.jit(functools.partial(
                 solve_stage, cfg=cfg))
             if cfg.device_classic:
@@ -393,12 +410,7 @@ class ClassicVisualOdometry:
         T = np.asarray(out.T_curr_prev, dtype=np.float64)
         t3 = time.perf_counter()
 
-        if np.linalg.norm(T[:3, 3]) > cfg.max_velocity_per_frame:
-            T = self.last_valid_T.copy()
-        else:
-            self.last_valid_T = T.copy()
-        self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
-        self.trajectory.append(self.world_T_cam.copy())
+        T = apply_pose_update(self, T)
 
         lat = {"detect": (t1 - t0) * 1e3, "match": (t2 - t1) * 1e3,
                "solve": (t3 - t2) * 1e3, "total": (t3 - t0) * 1e3}

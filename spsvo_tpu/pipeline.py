@@ -258,6 +258,24 @@ def vo_step(params: Any, state: VOState, images: jax.Array, P_l: jax.Array,
     return features_step(state, kp_l, kp_r, P_l, P_r, key, cfg=cfg)
 
 
+def apply_pose_update(vo, T: np.ndarray) -> np.ndarray:
+    """Velocity sanity gate + world-pose integration, shared by every
+    frame-emitting path (process / process_instrumented / stream flush in
+    both the NN and classic wrappers — the logic diverging between copies
+    was a measured bug source). Mirrors visual_odometry_node.cpp:117-148:
+    an implausible per-frame translation reuses the last valid transform;
+    world_T_curr = world_T_prev @ prev_T_curr. Mutates `vo`'s
+    last_valid_T / world_T_cam / trajectory; returns the (possibly
+    replaced) T_curr_prev."""
+    if np.linalg.norm(T[:3, 3]) > vo.cfg.max_velocity_per_frame:
+        T = vo.last_valid_T.copy()
+    else:
+        vo.last_valid_T = T.copy()
+    vo.world_T_cam = vo.world_T_cam @ np.linalg.inv(T)
+    vo.trajectory.append(vo.world_T_cam.copy())
+    return T
+
+
 class VisualOdometry:
     """Stateful host-side wrapper: the `FeatureFrontEnd` + node-logic
     equivalent with a plain-Python API.
@@ -321,16 +339,7 @@ class VisualOdometry:
         T = np.asarray(out.T_curr_prev, dtype=np.float64)
         t1 = time.perf_counter()
 
-        # velocity sanity gate (visual_odometry_node.cpp:117-123): an
-        # implausible per-frame translation reuses the last valid transform.
-        if np.linalg.norm(T[:3, 3]) > self.cfg.max_velocity_per_frame:
-            T = self.last_valid_T.copy()
-        else:
-            self.last_valid_T = T.copy()
-
-        # world pose integration: world_T_curr = world_T_prev @ prev_T_curr
-        self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
-        self.trajectory.append(self.world_T_cam.copy())
+        T = apply_pose_update(self, T)
 
         info: Dict[str, Any] = {"latency_s": t1 - t0}
         if want_diagnostics:
@@ -388,12 +397,7 @@ class VisualOdometry:
         T = np.asarray(out.T_curr_prev, dtype=np.float64)
         t3 = time.perf_counter()
 
-        if np.linalg.norm(T[:3, 3]) > cfg.max_velocity_per_frame:
-            T = self.last_valid_T.copy()
-        else:
-            self.last_valid_T = T.copy()
-        self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
-        self.trajectory.append(self.world_T_cam.copy())
+        T = apply_pose_update(self, T)
 
         lat = {"detect": (t1 - t0) * 1e3, "match": (t2 - t1) * 1e3,
                "solve": (t3 - t2) * 1e3, "total": (t3 - t0) * 1e3}
@@ -458,12 +462,7 @@ class VisualOdometry:
             for i, T in zip(idxs, np.asarray(T_seq, dtype=np.float64)):
                 if i < 0:
                     continue  # tail padding: no bookkeeping, no output
-                if np.linalg.norm(T[:3, 3]) > cfg.max_velocity_per_frame:
-                    T = self.last_valid_T.copy()
-                else:
-                    self.last_valid_T = T.copy()
-                self.world_T_cam = self.world_T_cam @ np.linalg.inv(T)
-                self.trajectory.append(self.world_T_cam.copy())
+                T = apply_pose_update(self, T)
                 out.append((i, T))
             buf = []
             return out
@@ -476,6 +475,16 @@ class VisualOdometry:
                 idx, frame = next_idx, item
             next_idx = idx + 1
             frame = np.asarray(frame)
+            if cfg.image_height > 0 and frame.shape[-2:] != (
+                    cfg.image_height, cfg.image_width):
+                # the scan is compiled at one shape and P is taken as
+                # already rescaled — reject instead of silently solving
+                # with a projection matrix for a different resolution
+                raise ValueError(
+                    "process_stream expects frames preprocessed to the "
+                    f"config resolution {cfg.image_height}x{cfg.image_width}"
+                    f", got {frame.shape[-2:]}; use ops.image."
+                    "preprocess_image_np + update_projection_matrix_np")
             if frame.dtype != np.uint8:
                 frame = frame.astype(np.float32)
             buf.append((idx, frame))

@@ -549,3 +549,77 @@ def test_classic_device_process_stream(sample_image_dir):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         list(vo_h.process_stream(iter(frames), P, P_r))
+
+
+def test_classic_stream_float_input_matches_uint8(sample_image_dir):
+    """Float [0, 1] stream frames take the no-normalize path and reproduce
+    the uint8 feed exactly (review finding: the scan body used to divide
+    float inputs by 255 a second time, crushing intensities to ~0)."""
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    from spsvo_tpu.frontend_classic import ClassicVisualOdometry
+
+    h, w = 150, 496
+    frames_u8 = [np.stack([im, np.roll(im, -8, axis=1)])
+                 for i in range(4)
+                 for im in [_real_image(sample_image_dir, i, hw=(h, w))]]
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]])
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    cfg = VOConfig(is_classic=True, device_classic=True,
+                   detector_type=DetectorType.ORB,
+                   descriptor_type=DescriptorType.ORB,
+                   image_height=0, image_width=0, max_keypoints=256,
+                   orb_n_levels=2, orb_edge_threshold=16,
+                   ransac_iterations=64, solve_slots=64)
+    vo_u8 = ClassicVisualOdometry(cfg)
+    list(vo_u8.process_stream(iter(frames_u8), P, P_r, chunk=2))
+    vo_f = ClassicVisualOdometry(cfg)
+    frames_f = [f.astype(np.float32) / 255.0 for f in frames_u8]
+    list(vo_f.process_stream(iter(frames_f), P, P_r, chunk=2))
+    np.testing.assert_allclose(np.stack(vo_f.trajectory),
+                               np.stack(vo_u8.trajectory), atol=1e-5)
+
+
+def test_stream_rejects_wrong_resolution(sample_image_dir):
+    """Both stream APIs refuse frames that don't match the config
+    resolution (the scan compiles at one shape and P is taken as already
+    rescaled — running anyway would silently use a wrong P)."""
+    import pytest as _pytest
+
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    from spsvo_tpu.frontend_classic import ClassicVisualOdometry
+
+    P = np.array([[718.856, 0, 607.1928, 0.0],
+                  [0, 718.856, 185.2157, 0.0],
+                  [0, 0, 1.0, 0.0]])
+    P_r = P.copy(); P_r[0, 3] = -386.1448
+    bad = [np.zeros((2, 64, 96), np.uint8)]
+    cfg = VOConfig(is_classic=True, device_classic=True,
+                   detector_type=DetectorType.ORB,
+                   descriptor_type=DescriptorType.ORB,
+                   image_height=120, image_width=392, max_keypoints=128,
+                   orb_n_levels=2, orb_edge_threshold=16,
+                   ransac_iterations=32, solve_slots=32)
+    with _pytest.raises(ValueError, match="preprocessed"):
+        list(ClassicVisualOdometry(cfg).process_stream(iter(bad), P, P_r))
+
+    from spsvo_tpu.config import VOConfig as VC
+    from spsvo_tpu.pipeline import VisualOdometry
+    vo = VisualOdometry(VC(model_name_prefix="sp_mbv1", image_height=120,
+                           image_width=392, max_keypoints=128))
+    with _pytest.raises(ValueError, match="preprocessed"):
+        list(vo.process_stream(iter(bad), P, P_r))
+
+
+def test_device_classic_rejects_float_descriptor_config():
+    """device_classic always emits steered-BRIEF; a float descriptor_type
+    must be rejected up front, not silently ignored (the instrumented path
+    would otherwise match bit-vectors with L2)."""
+    import pytest as _pytest
+
+    from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
+    with _pytest.raises(ValueError, match="steered-BRIEF"):
+        VOConfig(is_classic=True, device_classic=True,
+                 detector_type=DetectorType.ORB,
+                 descriptor_type=DescriptorType.SIFT)

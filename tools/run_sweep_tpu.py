@@ -55,24 +55,23 @@ def main() -> None:
     if flags.filter:
         cfgs = [c for c in cfgs if flags.filter in c.config_string]
         print(f"filter {flags.filter!r}: {len(cfgs)} configs")
+    # snapshot the existing rows BEFORE run_sweep overwrites the file —
+    # merging from git HEAD would silently discard any uncommitted rows
+    # from a previous filtered run (e.g. back-to-back per-family refreshes)
+    existing = []
+    if flags.filter and os.path.exists(out):
+        import json
+        with open(out) as f:
+            existing = json.load(f)
     rows = harness.run_sweep(lambda: list(frames), P_l, P_r,
                              configs=cfgs, out_json=out, gt_poses=poses,
                              max_frames=n_frames)
     if flags.filter and os.path.exists(out):
-        # merge the refreshed rows into the existing full-grid results
+        # merge the refreshed rows over the pre-run snapshot
         import json
         with open(out) as f:
             fresh = {r["config"]: r for r in json.load(f)}
-        full = {}
-        try:
-            import subprocess
-            prev = subprocess.run(
-                ["git", "show", "HEAD:docs/sweep_results.json"],
-                capture_output=True, text=True, cwd=docs)
-            if prev.returncode == 0:
-                full = {r["config"]: r for r in json.loads(prev.stdout)}
-        except Exception:
-            pass
+        full = {r["config"]: r for r in existing}
         full.update(fresh)
         with open(out, "w") as f:
             json.dump(list(full.values()), f, indent=1)
