@@ -10,8 +10,10 @@ Mirrors the reference preprocessImageImpl
 
 The crop geometry is static (image and target sizes are compile-time
 constants), so the whole thing jits to a single fused resize. The resize uses
-half-pixel centres (cv2.INTER_LINEAR convention), which `jax.image.resize`
-matches.
+half-pixel centres (cv2.INTER_LINEAR convention) via the custom
+`bilinear_resize` below — `jax.image.resize` is NOT a substitute: its
+default antialias kernel diverges from cv2 by up to ~53/255 gray levels at
+a 1.2x downscale (measured), where `bilinear_resize` matches to ~3e-5.
 
 The SuperPoint path additionally scales intensities to [0, 1]
 (feature_detection_neural_network.cpp:159).

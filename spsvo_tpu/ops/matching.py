@@ -108,7 +108,11 @@ def match_ratio(dist: jax.Array, valid0: jax.Array, valid1: jax.Array,
     d0 = -neg_top2[:, 0]
     d1 = -neg_top2[:, 1]
     r = ratio * ratio if squared else ratio
-    ok = valid0 & (d0 < _BIG) & (d0 < r * d1)
+    # d1 == _BIG means there was no second valid neighbour (a single valid
+    # train descriptor): OpenCV's knnMatch returns one element there and the
+    # reference's ratio loop keeps nothing — without this guard EVERY query
+    # would "pass" against the 1e30 sentinel and map to that one index
+    ok = valid0 & (d0 < _BIG) & (d1 < _BIG) & (d0 < r * d1)
     idx = jnp.where(ok, idx_top2[:, 0].astype(jnp.int32), -1)
     return MatchResult(idx=idx, dist2=d0)
 

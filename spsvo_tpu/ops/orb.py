@@ -40,6 +40,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from spsvo_tpu.ops.image import bilinear_resize
 from spsvo_tpu.ops.postprocess import Keypoints
 
 # FAST 16-pixel Bresenham circle (radius 3) in circular order, (dy, dx) —
@@ -392,9 +393,13 @@ def orb_features(img: jax.Array, *, k: int, n_levels: int = 8,
     for lvl in range(n_levels):
         if lvl > 0:
             # successive downscale like cv::ORB's pyramid (resize from the
-            # previous level, INTER_LINEAR ~ half-pixel-center bilinear)
-            level_img = jax.image.resize(level_img, shapes[lvl],
-                                         method="linear")
+            # previous level). ops.image.bilinear_resize IS cv2
+            # INTER_LINEAR (half-pixel centers, no antialias, ~3e-5 max
+            # delta); jax.image.resize's default antialias kernel diverges
+            # from cv2 by up to ~53/255 gray levels at this 1.2x step,
+            # over-smoothing every upper-level corner response.
+            level_img = bilinear_resize(level_img, shapes[lvl][0],
+                                        shapes[lvl][1])
         kq = quotas[lvl]
         if kq == 0:
             continue

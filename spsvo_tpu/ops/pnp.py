@@ -103,6 +103,15 @@ def _sample_indices(key: jax.Array, valid: jax.Array, num_hyp: int,
     return idx
 
 
+def is_single_batch(chunk: int, iterations: int) -> bool:
+    """True when RANSAC scores all hypotheses in ONE batch (no adaptive
+    chunked early-exit). The single source of truth for this predicate:
+    `ransac_pose` uses it to pick its execution shape and
+    `solver.pallas_solver_eligible` gates the fused kernel on it — the two
+    must never diverge or the kernel's bit-parity target changes silently."""
+    return chunk <= 0 or chunk >= iterations
+
+
 def _score_mask(R: jax.Array, t: jax.Array, pts3d_curr: jax.Array,
                 pts2d_prev: jax.Array, valid: jax.Array, P32: jax.Array,
                 thr2: float) -> jax.Array:
@@ -142,8 +151,11 @@ def refit_polish(R_best: jax.Array, t_best: jax.Array, best_inl: jax.Array,
         uv = project(P32, Xp)
         err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)
         inl2 = (err2 < thr2) & valid & (Xp[..., 2] > 0)
-        # only accept if it didn't collapse
-        better = jnp.sum(inl2) >= jnp.sum(inliers)
+        # only accept if it didn't collapse; a zero-inlier incoming best
+        # means the refit ran weighted-Horn on all-zero weights (a fixed
+        # garbage pose from sigma*I power iteration + zero centroids) —
+        # 0 >= 0 must NOT replace the winner with it
+        better = (jnp.sum(inl2) >= jnp.sum(inliers)) & (jnp.sum(inliers) > 0)
         R = jnp.where(better, R2, R)
         t = jnp.where(better, t2, t)
         inliers = jnp.where(better, inl2, inliers)
@@ -169,7 +181,9 @@ def refit_polish(R_best: jax.Array, t_best: jax.Array, best_inl: jax.Array,
     uv = project(P32, Xp)
     err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)
     inl_pol = (err2 < thr2) & valid & (Xp[..., 2] > 0)
-    better = jnp.sum(inl_pol) >= jnp.sum(best_inl)
+    # same zero-inlier guard as the refit loop: LM polished on an empty
+    # inlier set is meaningless and must not displace the winner
+    better = (jnp.sum(inl_pol) >= jnp.sum(best_inl)) & (jnp.sum(best_inl) > 0)
     q = jnp.where(better, polished.q, q_best)
     t = jnp.where(better, polished.t, t_best)
     best_inl = jnp.where(better, inl_pol, best_inl)
@@ -232,15 +246,9 @@ def ransac_pose(key: jax.Array, pts3d_curr: jax.Array, pts3d_prev: jax.Array,
 
     def score(R, t):
         """R: (..., 3, 3), t: (..., 3) -> inlier mask (..., K)."""
-        Xp = jnp.einsum("...ij,kj->...ki", R, pts3d_curr) + t[..., None, :]
-        Xh = jnp.concatenate([Xp, jnp.ones_like(Xp[..., :1])], axis=-1)
-        uvw = jnp.einsum("ij,...kj->...ki", P32, Xh)
-        z = uvw[..., 2:3]
-        uv = uvw[..., :2] / jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
-        err2 = jnp.sum((uv - pts2d_prev) ** 2, axis=-1)
-        return (err2 < thr2) & valid & (Xp[..., 2] > 0)
+        return _score_mask(R, t, pts3d_curr, pts2d_prev, valid, P32, thr2)
 
-    single_batch = chunk <= 0 or chunk >= iterations
+    single_batch = is_single_batch(chunk, iterations)
     chunk = iterations if single_batch else min(chunk, iterations)
     n_chunks = -(-iterations // chunk)
     k_samp, _ = jax.random.split(key)

@@ -187,8 +187,11 @@ def refine_subpixel(heat: jax.Array, xy: jax.Array, valid: jax.Array
     Out-of-image neighbours contribute 0 (the clamp bounds the shift);
     invalid slots pass through unchanged.
 
-    heat: (B, H, W) thresholded heatmap (pre-NMS — suppressed neighbours
-    still carry their true scores); xy: (B, K, 2) integer pixel coords.
+    heat: (B, H, W) RAW heatmap — pre-threshold AND pre-NMS, so every
+    neighbour carries its true score (extract_keypoints passes heat_raw;
+    a conf-thresholded heat would clamp sub-threshold neighbours to the
+    floor and bias the parabola vertex for winners near conf_thresh);
+    xy: (B, K, 2) integer pixel coords.
     """
     b, h, w = heat.shape
     flat = heat.reshape(b, h * w)

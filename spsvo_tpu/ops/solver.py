@@ -171,8 +171,8 @@ def pallas_solver_eligible(cfg: VOConfig) -> bool:
     on TPU (XLA solve_prepared elsewhere). Used by both solve_prepared and
     parallel.build_online_hybrid so the two paths can never diverge."""
     import os
-    single_batch = (cfg.ransac_chunk <= 0
-                    or cfg.ransac_chunk >= cfg.ransac_iterations)
+    single_batch = pnp.is_single_batch(cfg.ransac_chunk,
+                                       cfg.ransac_iterations)
     on_tpu = (jax.default_backend() == "tpu"
               # CPU test hook: run the whole fused-solver branch (hypothesis
               # hoisting, scan wiring, landmark carry) in Pallas interpret

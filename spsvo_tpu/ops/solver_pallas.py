@@ -350,7 +350,9 @@ def _refit_polish_rows(R, t, inl, rows, Pl, thr2, delta, polish_iters):
     for _ in range(2):
         q2, R2, t2 = _horn_rows(Xc, Xp, inl)
         inl2 = _score_rows(R2, t2, Xc, uv_pl, chain, Pl, thr2)
-        better = jnp.sum(inl2) >= jnp.sum(inl)
+        # zero-inlier guard in lockstep with pnp.refit_polish: an all-zero
+        # weight Horn is garbage and must not displace the winner on 0 >= 0
+        better = (jnp.sum(inl2) >= jnp.sum(inl)) & (jnp.sum(inl) > 0)
         R = tuple(jnp.where(better, R2[i], R[i]) for i in range(9))
         t = tuple(jnp.where(better, t2[i], t[i]) for i in range(3))
         inl = jnp.where(better, inl2, inl)
@@ -367,7 +369,7 @@ def _refit_polish_rows(R, t, inl, rows, Pl, thr2, delta, polish_iters):
     t_p = tuple(jnp.where(improved, t_p[i], t[i]) for i in range(3))
     R_p = _quat_to_R(q_p)
     inl_p = _score_rows(R_p, t_p, Xc, uv_pl, chain, Pl, thr2)
-    better = jnp.sum(inl_p) >= jnp.sum(inl)
+    better = (jnp.sum(inl_p) >= jnp.sum(inl)) & (jnp.sum(inl) > 0)
     q = tuple(jnp.where(better, q_p[i], q[i]) for i in range(4))
     t = tuple(jnp.where(better, t_p[i], t[i]) for i in range(3))
     inl = jnp.where(better, inl_p, inl)
