@@ -11,6 +11,13 @@ testable hermetically:
   * `synthetic_corridor`: ray-cast ground plane + side walls — true depth
     diversity (near high-disparity AND far low-disparity points, the
     KITTI-like regime), unbounded drive length;
+  * `synthetic_blocks`: ray-cast urban block world — ground plane plus
+    AABB "buildings" lining a street, giving occlusion boundaries,
+    fronto-parallel facades, sky gaps and per-surface texture
+    decorrelation: an INDEPENDENT scene statistic from the corridor, so
+    accuracy decisions tuned on one family can be validated on the other
+    (two corridor-specific failure modes leaked into conclusions in
+    rounds 2-3 — see docs/SUBPIXEL_NOTES.md);
   * trajectories: straight, curved (yaw rate), or a custom list of per-frame
     twists;
   * returns ground-truth world_T_cam poses for ATE/RPE/KITTI-metric scoring
@@ -236,6 +243,147 @@ def synthetic_corridor(rng: np.random.Generator, n_frames: int = 10,
         return np.clip(img.reshape(h, w), 0, 255).astype(np.uint8)
 
     baseline = -baseline_fx / P_l[0, 0]                     # metres
+    frames: List[Tuple[np.ndarray, np.ndarray]] = []
+    poses = _trajectory(n_frames, twists, yaw_rate, forward_per_frame)
+    for T in poses:
+        frames.append((render(T, 0.0), render(T, baseline)))
+    return frames, poses, P_l, P_r
+
+
+def synthetic_blocks(rng: np.random.Generator, n_frames: int = 10,
+                     h: int = 375, w: int = 1242,
+                     forward_per_frame: float = 0.35,
+                     yaw_rate: float = 0.0,
+                     twists: Optional[Sequence[Tuple[np.ndarray,
+                                                     np.ndarray]]] = None,
+                     street_half: float = 8.0, cam_height: float = 1.65,
+                     max_range: float = 80.0,
+                     P_l: Optional[np.ndarray] = None,
+                     baseline_fx: float = DEFAULT_BASELINE_FX,
+                     tex_scale: float = 48.0, blob_sigma: float = 6.0,
+                     tex_px: int = 4096
+                     ) -> Tuple[List[Tuple[np.ndarray, np.ndarray]],
+                                List[np.ndarray], np.ndarray, np.ndarray]:
+    """Ray-cast stereo sequence down an urban block-world street.
+
+    The second, statistically independent scene family (VERDICT r3 item 4):
+    a ground plane at y=+cam_height plus axis-aligned-box "buildings" of
+    random width/height/depth lining both sides of a `2*street_half` m
+    street, with random gaps between them. Unlike `synthetic_corridor`'s
+    two infinite walls, every frame here mixes
+
+      * oblique street-facing facades at varying x-offsets,
+      * fronto-parallel box fronts/backs visible through the gaps
+        (the KITTI-building statistic),
+      * occlusion boundaries where a near box truncates a far one,
+      * real sky regions between/above buildings,
+      * per-surface decorrelated textures (each face samples a wrapping
+        blob texture at a random per-box offset, so no two surfaces repeat
+        the same pattern on an epipolar row — the corridor's round-2
+        texture-wrap false-stereo-match failure cannot recur here by
+        construction within a building's extent).
+
+    Exact per-pixel ray casting (slab-method ray/AABB, nearest hit wins);
+    same return and `twists` contract as `synthetic_corridor`. Keep drives
+    inside |x| < street_half. Camera convention: x right, y DOWN, z forward.
+    """
+    P_l = DEFAULT_P_L.copy() if P_l is None else np.asarray(P_l, np.float64)
+    P_r = P_l.copy()
+    P_r[0, 3] = baseline_fx
+
+    texs = [blob_texture(rng, tex_px, tex_px, blob_sigma).astype(np.float32)
+            for _ in range(3)]
+
+    # building layout: boxes from behind the start to past the last frame's
+    # horizon, both sides; (lo[3], hi[3], tex index, u-offset, v-offset)
+    z_max = n_frames * abs(forward_per_frame) + max_range + 20.0
+    boxes = []
+    for side in (-1.0, 1.0):
+        z = -20.0
+        while z < z_max:
+            depth_b = rng.uniform(8.0, 16.0)
+            width_b = rng.uniform(4.0, 10.0)
+            height_b = rng.uniform(4.0, 18.0)
+            x_in = side * street_half
+            x_out = side * (street_half + width_b)
+            lo = np.array([min(x_in, x_out), cam_height - height_b, z])
+            hi = np.array([max(x_in, x_out), cam_height, z + depth_b])
+            boxes.append((lo, hi, int(rng.integers(0, 3)),
+                          float(rng.uniform(0, 40)),
+                          float(rng.uniform(0, 40))))
+            z += depth_b + rng.uniform(2.0, 8.0)
+
+    K = P_l[:, :3]
+    Kinv = np.linalg.inv(K)
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    rays_cam = (Kinv @ np.stack(
+        [uu.ravel(), vv.ravel(), np.ones(h * w)])).T        # (hw, 3)
+    ray_norms = np.linalg.norm(rays_cam, axis=1)
+
+    def sample(tex, a, b, off_u=0.0, off_v=0.0):
+        th_, tw_ = tex.shape
+        x = ((a + off_u) * tex_scale) % tw_
+        y = ((b + off_v) * tex_scale) % th_
+        x0 = np.floor(x).astype(np.int64) % tw_
+        y0 = np.floor(y).astype(np.int64) % th_
+        x1 = (x0 + 1) % tw_
+        y1 = (y0 + 1) % th_
+        fx = x - np.floor(x)
+        fy = y - np.floor(y)
+        return (tex[y0, x0] * (1 - fy) * (1 - fx)
+                + tex[y0, x1] * (1 - fy) * fx
+                + tex[y1, x0] * fy * (1 - fx)
+                + tex[y1, x1] * fy * fx)
+
+    # uv axes per hit-face normal axis: which two world coords parameterise
+    # the face texture (x-face -> (z, y), y-face -> (x, z), z-face -> (x, y))
+    UV_AXES = {0: (2, 1), 1: (0, 2), 2: (0, 1)}
+
+    def render(T_world_cam, eye_offset_x):
+        R = T_world_cam[:3, :3]
+        C = T_world_cam[:3, 3] + R @ np.array([eye_offset_x, 0.0, 0.0])
+        d = rays_cam @ R.T
+        dnorm = ray_norms
+        best_t = np.full(h * w, np.inf)
+        img = np.full(h * w, 110.0, np.float32)             # sky grey
+
+        # ground plane y = +cam_height (same as the corridor's)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (cam_height - C[1]) / d[:, 1]
+        X = C[None, :] + t[:, None] * d
+        valid = (np.isfinite(t) & (t > 0.05)
+                 & (t * dnorm < max_range) & (t < best_t))
+        img = np.where(valid, sample(texs[0], X[:, 0], X[:, 2]), img)
+        best_t = np.where(valid, t, best_t)
+
+        inv_d = np.where(d == 0.0, np.inf, 1.0 / np.where(d == 0.0, 1.0, d))
+        for lo, hi, ti, off_u, off_v in boxes:
+            # slab-method ray/AABB: entry t is the max of per-axis nears
+            t_a = (lo[None, :] - C[None, :]) * inv_d
+            t_b = (hi[None, :] - C[None, :]) * inv_d
+            t_near = np.minimum(t_a, t_b)                   # (hw, 3)
+            t_far = np.maximum(t_a, t_b)
+            face_axis = np.argmax(t_near, axis=1)           # entry face
+            tn = np.max(t_near, axis=1)
+            tf = np.min(t_far, axis=1)
+            hit = ((tn <= tf) & (tn > 0.05)
+                   & (tn * dnorm < max_range) & (tn < best_t))
+            if not hit.any():
+                continue
+            hit_idx = np.nonzero(hit)[0]
+            X = C[None, :] + tn[hit_idx, None] * d[hit_idx]
+            fa = face_axis[hit_idx]
+            img = img.copy()
+            for axis, (ua, va) in UV_AXES.items():
+                sel = np.nonzero(fa == axis)[0]
+                if sel.size:
+                    img[hit_idx[sel]] = sample(
+                        texs[ti], X[sel, ua], X[sel, va], off_u, off_v)
+            best_t = np.where(hit, tn, best_t)
+        return np.clip(img.reshape(h, w), 0, 255).astype(np.uint8)
+
+    baseline = -baseline_fx / P_l[0, 0]
     frames: List[Tuple[np.ndarray, np.ndarray]] = []
     poses = _trajectory(n_frames, twists, yaw_rate, forward_per_frame)
     for T in poses:

@@ -117,3 +117,49 @@ def test_corridor_drive_accuracy(rng):
     assert rep["final_drift_percent"] < 14.0, rep
     assert rep["ate_m"] < 0.5, rep
     assert np.mean([r["pnp_success"] for r in res.diagnostics]) == 1.0
+
+
+def test_blocks_scene_structure(rng):
+    """The urban block-world generator must actually deliver the scene
+    statistics that make it an independent family from the corridor:
+    real sky regions, occlusion/depth structure (buildings at different
+    x-offsets truncating each other), and a true stereo baseline."""
+    from spsvo_tpu.eval.synthetic import synthetic_blocks
+
+    frames, gt, P_l, P_r = synthetic_blocks(rng, n_frames=1)
+    il, ir = frames[0]
+    sky = (il == 110).mean()
+    assert 0.02 < sky < 0.5, sky          # visible sky gaps, not a wall scene
+    assert (il != ir).mean() > 0.3        # stereo parallax almost everywhere
+    assert il.std() > 40                  # high-contrast texture for corners
+    # P_r carries the KITTI baseline and the generator respected twists=None
+    assert P_r[0, 3] < -300
+    assert np.allclose(gt[0], np.eye(4))
+
+
+@pytest.mark.slow
+def test_blocks_drive_accuracy(rng):
+    """Urban block-world drive (second scene family, VERDICT r3 item 4):
+    occlusion boundaries, fronto-parallel facades and sky gaps — the
+    pipeline must hold tracking and bounded drift on statistics it was
+    NOT tuned on (every accuracy gate was tuned on corridor renders).
+
+    Measured on-TPU (96-frame S-curve drives x 3 seeds):
+    docs/accuracy_matrix.json."""
+    import dataclasses
+
+    from spsvo_tpu.eval import harness
+    from spsvo_tpu.eval.synthetic import synthetic_blocks
+    from spsvo_tpu.presets import flagship_tpu
+
+    frames, gt, P_l, P_r = synthetic_blocks(
+        rng, n_frames=24, yaw_rate=0.004, forward_per_frame=0.4)
+    cfg = dataclasses.replace(flagship_tpu(), conf_thresh=0.005)
+    res = harness.run_sequence_fused(cfg, frames, P_l, P_r, mode="hybrid")
+    rep = score_trajectory(res.poses, gt)
+    assert rep["path_length_m"] > 8.0
+    # short drives carry noisy drift-%: the bound is a tracking-holds
+    # regression; matrix-scale accuracy lives in docs/accuracy_matrix.json
+    assert rep["final_drift_percent"] < 14.0, rep
+    assert rep["ate_m"] < 0.5, rep
+    assert np.mean([r["pnp_success"] for r in res.diagnostics]) == 1.0
