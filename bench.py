@@ -403,28 +403,37 @@ def main():
     except Exception as e:
         log(f"int8+landmark aux run failed: {e}")
 
-    # ---- aux: device-resident classic mode (TPU-native ORB front end) -----
+    # ---- aux: device-resident classic modes (TPU-native front ends) -------
     # the reference's classic ORB/ORB config ran 11.6 FPS on the RTX 2070
-    # laptop (BASELINE.md); the host-OpenCV fused mode here is detect-bound
-    # at ~26 FPS on this 1-core host (BENCH_NOTES.md). ops/orb.py moves
-    # detection onto the TPU so the classic pipeline has zero per-frame host
-    # work. edge border 16 (not OpenCV's 31) keeps a usable detection band
-    # on 120-px-high frames; safe for the 15-px orientation/descriptor
-    # patches.
+    # laptop (BASELINE.md) AT NATIVE RESOLUTION (visual_odometry_classic.
+    # launch: image_height=0) — so the device-classic rows are measured at
+    # native 375x1242, the regime classic features actually work in (at
+    # 120x392 even host cv2.ORB drifts 35%, docs/device_classic_matrix.
+    # json). ops/orb.py moves detection onto the TPU so the classic
+    # pipeline has zero per-frame host work; the BRISK ring-pattern
+    # descriptor (60 samples/keypoint vs steered-BRIEF's 512) is the
+    # fastest AND most accurate classic config.
     try:
         from spsvo_tpu.config import DescriptorType, DetectorType
-        cfg_orb = dataclasses.replace(
+        cfg_nat = dataclasses.replace(
             cfg_seq, is_classic=True, device_classic=True,
             detector_type=DetectorType.ORB,
-            descriptor_type=DescriptorType.ORB, orb_edge_threshold=16)
-        orb_fn = build_orb_hybrid(cfg_orb)
-        args_o = (None, images, P_l_j, P_r_j, key)
-        fps_o, diags_o, w_o = _measure_pipelined(orb_fn, args_o, N_FRAMES)
-        log(f"device-ORB classic hybrid (sustained): {fps_o:.1f} FPS "
-            f"(mean inliers {np.asarray(diags_o['num_inliers']).mean():.0f}) "
-            + _drift_str(w_o, gt_poses))
+            descriptor_type=DescriptorType.ORB,
+            image_height=375, image_width=1242, orb_edge_threshold=31)
+        fr_n, pl_n, pr_n, gt_n = _load_frames(cfg_nat)
+        args_n = (None, jnp.asarray(fr_n), jnp.asarray(pl_n, jnp.float32),
+                  jnp.asarray(pr_n, jnp.float32), key)
+        for desc_t, name in ((DescriptorType.ORB, "ORB"),
+                             (DescriptorType.BRISK, "BRISK")):
+            cfg_o = dataclasses.replace(cfg_nat, descriptor_type=desc_t)
+            fps_o, diags_o, w_o = _measure_pipelined(
+                build_orb_hybrid(cfg_o), args_n, N_FRAMES)
+            log(f"device-{name} classic hybrid @375x1242 (sustained): "
+                f"{fps_o:.1f} FPS (mean inliers "
+                f"{np.asarray(diags_o['num_inliers']).mean():.0f}) "
+                + _drift_str(w_o, gt_n))
     except Exception as e:
-        log(f"device-ORB aux run failed: {e}")
+        log(f"device-classic aux run failed: {e}")
 
     print(json.dumps({
         "metric": "stereo_vo_fps",

@@ -183,6 +183,12 @@ class VOConfig:
     num_parallel_frames: int = 1      # frames per sharded step (multi-chip DP)
     latency_warn_ms: float = 125.0    # reference per-step budget warning
     use_pallas_matcher: bool = False  # fused Pallas mutual-NN kernel (TPU)
+    matcher_bf16: bool = False        # descriptor distance matmul in bf16
+    # (fp32 accumulation): halves the post-trunk descriptor HBM traffic
+    # that EFFICIENCY.md charges for the bf16/int8 end-to-end shortfall.
+    # Descriptors are L2-normalised so NN ranking is robust; accuracy cost
+    # measured in the drive matrix (BENCH_NOTES matcher-precision ladder).
+    # Float descriptors only (binary Hamming stays exact integer fp32).
     use_pallas_solver: bool = False   # fused whole-solver Pallas kernel for
     # the hybrid online scan (score+winner+refit+polish+LM+gates in ONE
     # kernel launch per frame); requires single-batch RANSAC + lm_unroll>0;
@@ -243,13 +249,15 @@ class VOConfig:
         if self.device_classic and not self.is_classic:
             raise ValueError("device_classic requires is_classic=True")
         if self.device_classic and not self.descriptor_type.is_binary:
-            # the device front end always emits 256-bit steered-BRIEF; a
-            # float descriptor_type would be silently ignored (and the
-            # instrumented path would match with the wrong metric)
+            # the device front end emits binary descriptors (256-bit
+            # steered-BRIEF, or the 512-bit BRISK ring pattern when
+            # descriptor_type is BRISK); a float descriptor_type would be
+            # silently ignored (and the instrumented path would match with
+            # the wrong metric)
             raise ValueError(
-                "device_classic emits steered-BRIEF (binary) descriptors; "
-                f"descriptor_type={self.descriptor_type.value} is not "
-                "supported on the device path")
+                "device_classic emits binary (steered-BRIEF / BRISK) "
+                f"descriptors; descriptor_type={self.descriptor_type.value} "
+                "is not supported on the device path")
         if not 0 <= self.refinement_degree <= 4:
             raise ValueError("refinement_degree must be in [0, 4]")
 
@@ -313,10 +321,24 @@ def classic_sweep_configs(base: Optional[VOConfig] = None) -> list[VOConfig]:
         (DetectorType.AKAZE, DescriptorType.AKAZE),
         (DetectorType.SIFT, DescriptorType.SIFT),
     ]
-    return [dataclasses.replace(
-        base, is_classic=True, detector_type=det, descriptor_type=desc,
-        image_height=0, image_width=0)  # native res (launch default)
-        for det, desc in pairs]
+    rows = []
+    for det, desc in pairs:
+        if det == DetectorType.BRISK:
+            # cv2 5.0 dropped BRISK_create (sweep_results round-3 note), so
+            # the BRISK row runs the TPU-native BRISK ring-pattern front end
+            # (ops/orb.py brisk_descriptors) at native resolution instead of
+            # host OpenCV — the grid stays 6 measurable configs. Detection
+            # is the device FAST pyramid (a documented delta from BRISK's
+            # AGAST scale space); description is the paper's ring pattern.
+            rows.append(dataclasses.replace(
+                base, is_classic=True, device_classic=True,
+                detector_type=det, descriptor_type=desc,
+                image_height=375, image_width=1242, orb_edge_threshold=31))
+            continue
+        rows.append(dataclasses.replace(
+            base, is_classic=True, detector_type=det, descriptor_type=desc,
+            image_height=0, image_width=0))  # native res (launch default)
+    return rows
 
 
 def device_classic_sweep_configs(base: Optional[VOConfig] = None

@@ -153,12 +153,12 @@ class ClassicVisualOdometry:
         self.cfg = cfg
         self.binary = cfg.descriptor_type.is_binary
         if cfg.device_classic:
-            from spsvo_tpu.ops.orb import orb_frontend_batch
+            from spsvo_tpu.ops.orb import frontend_kwargs, orb_frontend_batch
             self.detector = self.extractor = None
-            self.desc_dim = 256  # steered-BRIEF bits
-            dev_detector = ("shi_tomasi"
-                            if cfg.detector_type == DetectorType.SHI_TOMASI
-                            else "orb")
+            fe_kwargs = frontend_kwargs(cfg)
+            # steered-BRIEF 256 bits, or the 512-bit BRISK ring pattern
+            self.desc_dim = (512 if fe_kwargs["descriptor"] == "brisk"
+                             else 256)
 
             def dev_step(state, images, P_l, P_r, key, normalize=True):
                 # images: (2, H, W) uint8 (normalize=True, the default:
@@ -166,11 +166,7 @@ class ClassicVisualOdometry:
                 # (normalize=False — process_stream's float-input path)
                 x = images.astype(jnp.float32)
                 kps = orb_frontend_batch(
-                    x / 255.0 if normalize else x,
-                    k=cfg.max_keypoints, n_levels=cfg.orb_n_levels,
-                    scale_factor=cfg.orb_scale_factor,
-                    fast_threshold=cfg.orb_fast_threshold,
-                    border=cfg.orb_edge_threshold, detector=dev_detector)
+                    x / 255.0 if normalize else x, **fe_kwargs)
                 kp_l = jax.tree.map(lambda a: a[0], kps)
                 kp_r = jax.tree.map(lambda a: a[1], kps)
                 return features_step(state, kp_l, kp_r, P_l, P_r, key,
@@ -355,26 +351,22 @@ class ClassicVisualOdometry:
 
         cfg = self.cfg
         if not hasattr(self, "_stage_match"):
-            # the device front end always emits 256-bit steered-BRIEF
-            # descriptors regardless of cfg.descriptor_type — match what
-            # the fused dev_step hardcodes, or the two paths diverge
+            # the device front end always emits binary descriptors
+            # (steered-BRIEF or BRISK bits) regardless of cfg.descriptor_
+            # type — match what the fused dev_step hardcodes, or the two
+            # paths diverge
             self._stage_match = jax.jit(functools.partial(
                 match_stage, cfg=cfg,
                 binary_desc=True if cfg.device_classic else self.binary))
             self._stage_solve = jax.jit(functools.partial(
                 solve_stage, cfg=cfg))
             if cfg.device_classic:
-                from spsvo_tpu.ops.orb import orb_frontend_batch
-                dev_detector = ("shi_tomasi" if cfg.detector_type
-                                == DetectorType.SHI_TOMASI else "orb")
+                from spsvo_tpu.ops.orb import (frontend_kwargs,
+                                               orb_frontend_batch)
+                fe_kw = frontend_kwargs(cfg)
                 self._stage_frontend = jax.jit(
                     lambda images: orb_frontend_batch(
-                        images.astype(jnp.float32) / 255.0,
-                        k=cfg.max_keypoints, n_levels=cfg.orb_n_levels,
-                        scale_factor=cfg.orb_scale_factor,
-                        fast_threshold=cfg.orb_fast_threshold,
-                        border=cfg.orb_edge_threshold,
-                        detector=dev_detector))
+                        images.astype(jnp.float32) / 255.0, **fe_kw))
 
         t0 = time.perf_counter()
         if cfg.image_height > 0 and cfg.image_width > 0:

@@ -49,11 +49,17 @@ class MatchResult(NamedTuple):
 
 
 def l2_distance_sq(desc0: jax.Array, desc1: jax.Array) -> jax.Array:
-    """(K0, D), (K1, D) -> (K0, K1) squared L2 distances via one MXU matmul."""
-    # |a-b|^2 = |a|^2 + |b|^2 - 2 a.b ; descriptors are fp32, accumulate fp32.
+    """(K0, D), (K1, D) -> (K0, K1) squared L2 distances via one MXU matmul.
+
+    Inputs may be fp32 or bf16 (cfg.matcher_bf16): the dot accumulates in
+    fp32 either way, and the tiny per-row norms are upcast so only the
+    O(K^2 D) matmul runs at reduced precision."""
+    # |a-b|^2 = |a|^2 + |b|^2 - 2 a.b
     dots = jnp.dot(desc0, desc1.T, preferred_element_type=jnp.float32)
-    n0 = jnp.sum(desc0 * desc0, axis=-1, keepdims=True)
-    n1 = jnp.sum(desc1 * desc1, axis=-1, keepdims=True)
+    d0f = desc0.astype(jnp.float32)
+    d1f = desc1.astype(jnp.float32)
+    n0 = jnp.sum(d0f * d0f, axis=-1, keepdims=True)
+    n1 = jnp.sum(d1f * d1f, axis=-1, keepdims=True)
     return jnp.maximum(n0 + n1.T - 2.0 * dots, 0.0)
 
 

@@ -37,8 +37,13 @@ def _match_kernel(d0_ref, v0_ref, d1_ref, v1_ref, idx_ref, dist_ref):
     k1 = d1.shape[0]
 
     dots = jnp.dot(d0, d1.T, preferred_element_type=jnp.float32)  # MXU
-    n0 = jnp.sum(d0 * d0, axis=1, keepdims=True)                  # (K0, 1)
-    n1 = jnp.sum(d1 * d1, axis=1, keepdims=True)                  # (K1, 1)
+    # norms in fp32 regardless of input dtype (bf16 inputs: the dot rides
+    # the MXU's bf16 path with fp32 accumulation; elementwise squares are
+    # upcast so the tiny K-vector norms don't lose mantissa)
+    d0f = d0.astype(jnp.float32)
+    d1f = d1.astype(jnp.float32)
+    n0 = jnp.sum(d0f * d0f, axis=1, keepdims=True)                # (K0, 1)
+    n1 = jnp.sum(d1f * d1f, axis=1, keepdims=True)                # (K1, 1)
     dist = jnp.maximum(n0 + n1.T - 2.0 * dots, 0.0)
     mask = (v0 > 0) & (v1.T > 0)                                  # (K0, K1)
     dist = jnp.where(mask, dist, _BIG)
@@ -87,8 +92,11 @@ def match_nn_pallas(desc0: jax.Array, valid0: jax.Array, desc1: jax.Array,
     K1 = max(128, -(-k1 // 128) * 128)
     D = max(128, -(-d // 128) * 128)
 
-    d0 = _pad_to(_pad_to(desc0.astype(jnp.float32), K0, 0), D, 1)
-    d1 = _pad_to(_pad_to(desc1.astype(jnp.float32), K1, 0), D, 1)
+    # bf16 descriptors stay bf16 into the kernel (half the VMEM feed
+    # traffic; the kernel accumulates in fp32) — everything else is fp32
+    cdt = desc0.dtype if desc0.dtype == jnp.bfloat16 else jnp.float32
+    d0 = _pad_to(_pad_to(desc0.astype(cdt), K0, 0), D, 1)
+    d1 = _pad_to(_pad_to(desc1.astype(cdt), K1, 0), D, 1)
     v0 = _pad_to(valid0.astype(jnp.float32)[:, None], K0, 0)
     v1 = _pad_to(valid1.astype(jnp.float32)[:, None], K1, 0)
 

@@ -539,18 +539,12 @@ def build_orb_hybrid(cfg: VOConfig, mesh: Optional[Mesh] = None,
     host OpenCV. `fn(params, images (N, 2, H, W) float [0,1], P_l, P_r,
     key)`; `params` is ignored (pass None) — kept for signature parity with
     the CNN hybrid so harness/bench code paths are shared."""
-    from spsvo_tpu.config import DetectorType
-    from spsvo_tpu.ops.orb import orb_frontend_batch
-    detector = ("shi_tomasi" if cfg.detector_type == DetectorType.SHI_TOMASI
-                else "orb")
+    from spsvo_tpu.ops.orb import frontend_kwargs, orb_frontend_batch
+    fe_kwargs = frontend_kwargs(cfg)
 
     def fb(params, imgs_flat):
         del params
-        return orb_frontend_batch(
-            imgs_flat, k=cfg.max_keypoints, n_levels=cfg.orb_n_levels,
-            scale_factor=cfg.orb_scale_factor,
-            fast_threshold=cfg.orb_fast_threshold,
-            border=cfg.orb_edge_threshold, detector=detector)
+        return orb_frontend_batch(imgs_flat, **fe_kwargs)
 
     return build_online_hybrid(None, cfg, mesh=mesh, axis_name=axis_name,
                                binary_desc=True, frontend_batch_fn=fb)

@@ -108,16 +108,27 @@ def superpoint_frontend(apply_fn, params, images: jax.Array, cfg: VOConfig
     return left, right
 
 
+def _mdesc(desc: jax.Array, cfg: VOConfig, binary: bool) -> jax.Array:
+    """Descriptor dtype for the distance matmul: bf16 when
+    cfg.matcher_bf16 (float descriptors only — binary Hamming counts are
+    exact small integers in fp32 and stay that way)."""
+    if cfg.matcher_bf16 and not binary:
+        return desc.astype(jnp.bfloat16)
+    return desc
+
+
 def _match(a: Keypoints, b: Keypoints, cfg: VOConfig,
            binary: bool = False) -> matching.MatchResult:
     if (cfg.use_pallas_matcher and not binary
             and cfg.selector_type == SelectorType.NN and cfg.cross_check
             and jax.default_backend() == "tpu"):  # XLA fallback elsewhere
         from spsvo_tpu.ops.matching_pallas import match_nn_pallas
-        idx, dist2 = match_nn_pallas(a.desc, a.valid, b.desc, b.valid)
+        idx, dist2 = match_nn_pallas(_mdesc(a.desc, cfg, binary), a.valid,
+                                     _mdesc(b.desc, cfg, binary), b.valid)
         return matching.MatchResult(idx=idx, dist2=dist2)
     return matching.match_descriptors(
-        a.desc, a.valid, b.desc, b.valid,
+        _mdesc(a.desc, cfg, binary), a.valid,
+        _mdesc(b.desc, cfg, binary), b.valid,
         use_ratio_test=(cfg.selector_type == SelectorType.KNN),
         cross_check=cfg.cross_check, ratio=cfg.knn_threshold, binary=binary)
 
@@ -138,8 +149,11 @@ def match_stage(state: VOState, kp_l: Keypoints, kp_r: Keypoints, *,
                      and jax.default_backend() == "tpu")
     if not binary_desc and not pallas_active:
         k = kp_r.desc.shape[0]
-        desc_cat = jnp.concatenate([kp_r.desc, state.prev_left.desc], axis=0)
-        dist = matching.l2_distance_sq(kp_l.desc, desc_cat)   # (K, 2K)
+        desc_cat = _mdesc(
+            jnp.concatenate([kp_r.desc, state.prev_left.desc], axis=0),
+            cfg, binary_desc)
+        dist = matching.l2_distance_sq(_mdesc(kp_l.desc, cfg, binary_desc),
+                                       desc_cat)              # (K, 2K)
         sel_kw = dict(
             use_ratio_test=(cfg.selector_type == SelectorType.KNN),
             cross_check=cfg.cross_check, ratio=cfg.knn_threshold)
