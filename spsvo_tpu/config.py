@@ -187,7 +187,9 @@ class VOConfig:
     # (fp32 accumulation): halves the post-trunk descriptor HBM traffic
     # that EFFICIENCY.md charges for the bf16/int8 end-to-end shortfall.
     # Descriptors are L2-normalised so NN ranking is robust; accuracy cost
-    # measured in the drive matrix (BENCH_NOTES matcher-precision ladder).
+    # measured by tools/run_accuracy_matrix.py (the fp32_mbf16 setting of
+    # docs/accuracy_matrix.json); selection-agreement vs fp32 pinned by
+    # tests/test_matching.py::test_matcher_bf16_selection_agreement.
     # Float descriptors only (binary Hamming stays exact integer fp32).
     use_pallas_solver: bool = False   # fused whole-solver Pallas kernel for
     # the hybrid online scan (score+winner+refit+polish+LM+gates in ONE
@@ -323,13 +325,17 @@ def classic_sweep_configs(base: Optional[VOConfig] = None) -> list[VOConfig]:
     ]
     rows = []
     for det, desc in pairs:
-        if det == DetectorType.BRISK:
-            # cv2 5.0 dropped BRISK_create (sweep_results round-3 note), so
-            # the BRISK row runs the TPU-native BRISK ring-pattern front end
-            # (ops/orb.py brisk_descriptors) at native resolution instead of
-            # host OpenCV — the grid stays 6 measurable configs. Detection
-            # is the device FAST pyramid (a documented delta from BRISK's
-            # AGAST scale space); description is the paper's ring pattern.
+        if det in (DetectorType.BRISK, DetectorType.AKAZE):
+            # cv2 5.0 dropped BRISK_create and AKAZE (sweep_results round-3
+            # note), so these rows run the TPU-native front ends at native
+            # resolution instead of host OpenCV — the grid stays 6
+            # measurable configs. BRISK: device FAST pyramid (a documented
+            # delta from BRISK's AGAST scale space) + the paper's
+            # ring-pattern descriptor (ops/orb.py brisk_descriptors).
+            # AKAZE: FED nonlinear-diffusion scale space + Hessian-det
+            # detection + M-LDB (ops/akaze.py). Both carry the "orbtpu"
+            # device tag in config_string so sweep consumers see the
+            # measurement-basis difference from host cv2 rows.
             rows.append(dataclasses.replace(
                 base, is_classic=True, device_classic=True,
                 detector_type=det, descriptor_type=desc,

@@ -156,9 +156,10 @@ class ClassicVisualOdometry:
             from spsvo_tpu.ops.orb import frontend_kwargs, orb_frontend_batch
             self.detector = self.extractor = None
             fe_kwargs = frontend_kwargs(cfg)
-            # steered-BRIEF 256 bits, or the 512-bit BRISK ring pattern
-            self.desc_dim = (512 if fe_kwargs["descriptor"] == "brisk"
-                             else 256)
+            # steered-BRIEF 256 bits, the 512-bit BRISK ring pattern, or
+            # the 488-bit AKAZE M-LDB
+            self.desc_dim = {"brisk": 512, "mldb": 488}.get(
+                fe_kwargs["descriptor"], 256)
 
             def dev_step(state, images, P_l, P_r, key, normalize=True):
                 # images: (2, H, W) uint8 (normalize=True, the default:

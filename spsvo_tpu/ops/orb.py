@@ -205,9 +205,15 @@ def ic_moment_maps(img: jax.Array) -> jax.Array:
     to a (HW, 961) buffer whose HBM traffic made the 8-level ORB pyramid
     2.5x SLOWER end-to-end, while this formulation is FAST-program-shaped.
 
-    Bit-exact vs the gather formulation: edge-replicated padding reproduces
-    the clipped patch reads, and every partial sum is an integer below 2^24
-    (|m10| <= 255 * 7440), so fp32 accumulation is exact in any order."""
+    Numerically equivalent to the per-keypoint gather formulation:
+    edge-replicated padding reproduces the clipped patch reads. For
+    integer-valued images every partial sum stays below 2^24
+    (|m10| <= 255 * 7440) and fp32 accumulation is exact in any order;
+    the device call paths pass /255-normalised floats, where reassociation
+    leaves ~1e-6 relative (~3e-3 abs) differences — tie-adjacent
+    descriptor bits can differ from the gather formulation there
+    (tests/test_orb.py::test_ic_moment_maps_matches_patch_gather pins the
+    tolerance)."""
     hp = HALF_PATCH
     widths = _ic_row_widths(hp)
     p = jnp.pad(img.astype(jnp.float32), ((hp, hp), (hp, hp)), mode="edge")
@@ -631,17 +637,21 @@ def frontend_kwargs(cfg) -> dict:
     every device-classic dispatch site (sharding.build_orb_hybrid,
     ClassicVisualOdometry's dev_step / _stage_frontend)."""
     from spsvo_tpu.config import DescriptorType, DetectorType
+    if cfg.detector_type == DetectorType.AKAZE:
+        detector, descriptor = "akaze", "mldb"
+    else:
+        detector = ("shi_tomasi"
+                    if cfg.detector_type == DetectorType.SHI_TOMASI
+                    else "orb")
+        descriptor = ("brisk"
+                      if cfg.descriptor_type == DescriptorType.BRISK
+                      else "brief")
     return dict(
         k=cfg.max_keypoints, n_levels=cfg.orb_n_levels,
         scale_factor=cfg.orb_scale_factor,
         fast_threshold=cfg.orb_fast_threshold,
         border=cfg.orb_edge_threshold,
-        detector=("shi_tomasi"
-                  if cfg.detector_type == DetectorType.SHI_TOMASI
-                  else "orb"),
-        descriptor=("brisk"
-                    if cfg.descriptor_type == DescriptorType.BRISK
-                    else "brief"))
+        detector=detector, descriptor=descriptor)
 
 
 def orb_frontend_batch(images: jax.Array, *, k: int, n_levels: int = 8,
@@ -662,7 +672,13 @@ def orb_frontend_batch(images: jax.Array, *, k: int, n_levels: int = 8,
     n, h, w = images.shape
     if chunk <= 0:
         chunk = min(64, max(4, (32 * 120 * 392 // (h * w)) // 4 * 4))
-    if detector == "shi_tomasi":
+    if detector == "akaze":
+        # FED nonlinear-diffusion scale space + Hessian det + M-LDB
+        # (ops/akaze.py — the reference's cv::AKAZE::create() config,
+        # feature_detection_classic.cpp:26-27)
+        from spsvo_tpu.ops.akaze import akaze_features
+        fn = functools.partial(akaze_features, k=k, border=max(16, border))
+    elif detector == "shi_tomasi":
         # honor the configured edge border, floored at the 16 px the
         # descriptor patches need (cv2 GFTT itself has no ORB-style 31-px
         # edge buffer, so callers typically pass a smaller value here)

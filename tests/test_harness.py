@@ -5,7 +5,7 @@ import os
 import numpy as np
 import pytest
 
-from spsvo_tpu.config import VOConfig
+from spsvo_tpu.config import DescriptorType, DetectorType, VOConfig
 from spsvo_tpu.eval import harness
 
 
@@ -176,26 +176,62 @@ def test_score_against_ground_truth(tmp_path):
 
 
 def test_run_sweep_records_errors_and_results(tmp_path, monkeypatch):
-    # stub VisualOdometry so no models/TPU needed
-    import spsvo_tpu.pipeline as pipeline_mod
+    """run_sweep routes every row through the fused device modes with the
+    right mode per config family; a row that raises is recorded as an
+    error and the grid continues (the reference's 78-config sweep is
+    resumable per config, SURVEY.md §5)."""
+    calls = []
 
-    class _FakeVO(_StubVO):
-        def __init__(self, cfg, *a, **k):
-            super().__init__()
-            self.cfg = cfg
-            if cfg.model_name_prefix == "sp_mbv2":
-                raise RuntimeError("boom")
+    def fake_fused(cfg, frames, P_l, P_r, mode=None, timing_reps=1, **kw):
+        calls.append((cfg.config_string, mode, timing_reps))
+        if cfg.model_name_prefix == "sp_mbv2":
+            raise RuntimeError("boom")
+        lat = [{"total": 1.0} for _ in range(5)]
+        return harness.SequenceResult(
+            poses=[np.eye(4)] * len(list(frames)), latencies_ms=lat,
+            diagnostics=[], config_string=cfg.config_string)
 
-    monkeypatch.setattr(pipeline_mod, "VisualOdometry", _FakeVO)
+    monkeypatch.setattr(harness, "run_sequence_fused", fake_fused)
     cfgs = [VOConfig(model_name_prefix="sp_mbv1", max_keypoints=64),
-            VOConfig(model_name_prefix="sp_mbv2", max_keypoints=64)]
+            VOConfig(model_name_prefix="sp_mbv2", max_keypoints=64),
+            VOConfig(is_classic=True, max_keypoints=64),
+            VOConfig(is_classic=True, device_classic=True,
+                     detector_type=DetectorType.ORB,
+                     descriptor_type=DescriptorType.ORB,
+                     max_keypoints=64)]
     out_json = str(tmp_path / "sweep.json")
     P = np.eye(3, 4)
     results = harness.run_sweep(lambda: _frames(3), P, P, configs=cfgs,
                                 out_json=out_json, max_frames=3)
-    assert len(results) == 2
+    assert len(results) == 4
     assert "fps" in results[0]
-    assert "error" in results[1]
+    assert "error" in results[1] and "boom" in results[1]["error"]
+    assert "fps" in results[2] and "fps" in results[3]
+    # mode routing contract: NN rows hybrid, host classic rows classic,
+    # device-classic rows orb; all with pipelined timing (timing_reps=4)
+    assert [(m, r) for _, m, r in calls] == [
+        ("hybrid", 4), ("hybrid", 4), ("classic", 4), ("orb", 4)]
+    assert json.load(open(out_json)) == results
+
+
+def test_run_sweep_records_model_load_failure(tmp_path, monkeypatch):
+    """Error injection through the REAL run_sequence_fused: a config whose
+    model load raises must land as an error row, exercising the new
+    try/except around the fused path (VERDICT r4 item 1a)."""
+    from spsvo_tpu.models import zoo
+
+    def boom_load(prefix, *a, **k):
+        raise FileNotFoundError(f"no weights for {prefix}")
+
+    monkeypatch.setattr(zoo, "load_model", boom_load)
+    cfg = VOConfig(model_name_prefix="sp_mbv1", image_height=16,
+                   image_width=32, max_keypoints=64)
+    out_json = str(tmp_path / "sweep.json")
+    P = np.eye(3, 4)
+    results = harness.run_sweep(lambda: _frames(3), P, P, configs=[cfg],
+                                out_json=out_json, max_frames=3)
+    assert len(results) == 1
+    assert "no weights for sp_mbv1" in results[0]["error"]
     assert json.load(open(out_json)) == results
 
 

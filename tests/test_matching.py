@@ -73,3 +73,38 @@ def test_hamming_distance(rng):
                                                 jnp.asarray(b1)))
     ref = (b0[:, None, :] != b1[None, :, :]).sum(-1)
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_matcher_bf16_selection_agreement(rng):
+    """cfg.matcher_bf16 casts descriptors to bf16 for the distance matmul
+    (fp32 accumulation, pipeline._mdesc). On L2-normalised SuperPoint-like
+    descriptors the mutual-NN SELECTION must agree with fp32 except on
+    near-tie rows — bound the disagreement on both the XLA path and the
+    Pallas kernel's interpret path (ADVICE r4)."""
+    d0 = _descs(rng, 256, d=256)
+    d1 = _descs(rng, 256, d=256)
+    v = np.ones(256, bool)
+
+    res32 = matching.match_descriptors(jnp.asarray(d0), jnp.asarray(v),
+                                       jnp.asarray(d1), jnp.asarray(v),
+                                       cross_check=True)
+    res16 = matching.match_descriptors(
+        jnp.asarray(d0).astype(jnp.bfloat16), jnp.asarray(v),
+        jnp.asarray(d1).astype(jnp.bfloat16), jnp.asarray(v),
+        cross_check=True)
+    i32, i16 = np.asarray(res32.idx), np.asarray(res16.idx)
+    disagree = np.mean(i32 != i16)
+    assert disagree <= 0.05, disagree
+    # where both agree, distances stay close (bf16 mantissa ~3 decimal bits)
+    m = (i32 == i16) & (i32 >= 0)
+    np.testing.assert_allclose(np.asarray(res16.dist2)[m],
+                               np.asarray(res32.dist2)[m],
+                               rtol=0.05, atol=0.05)
+
+    # Pallas kernel path (interpret mode on CPU): same contract
+    from spsvo_tpu.ops.matching_pallas import match_nn_pallas
+    ip16, _ = match_nn_pallas(jnp.asarray(d0).astype(jnp.bfloat16),
+                              jnp.asarray(v),
+                              jnp.asarray(d1).astype(jnp.bfloat16),
+                              jnp.asarray(v), interpret=True)
+    assert np.mean(np.asarray(ip16) != i32) <= 0.05

@@ -623,3 +623,174 @@ def test_device_classic_rejects_float_descriptor_config():
         VOConfig(is_classic=True, device_classic=True,
                  detector_type=DetectorType.ORB,
                  descriptor_type=DescriptorType.SIFT)
+
+
+# ------------------------------------------------------------------ BRISK
+
+def test_brisk_pattern_properties():
+    """The ring pattern matches the ICCV-2011 paper's spec (ops/orb.py
+    _brisk_tables; reference BRISK config feature_detection_classic.cpp:
+    30-31): 60 points on 4 rings + center, 512 unique shortest pairs, an
+    antisymmetric long-pair orientation weight matrix, deterministic."""
+    from spsvo_tpu.ops.orb import _brisk_tables
+
+    pts, sigma_bank, bank_idx, short_pairs, orient_w = _brisk_tables()
+    assert pts.shape == (60, 2)
+    r = np.hypot(pts[:, 0], pts[:, 1])
+    for rad, n in ((0.0, 1), (2.9, 10), (4.9, 14), (7.4, 15), (10.8, 20)):
+        assert np.sum(np.isclose(r, rad, atol=1e-4)) == n
+    # blur bank: every point maps to a valid sigma; outer rings blur more
+    assert bank_idx.shape == (60,)
+    sig = sigma_bank[bank_idx]
+    assert sig.min() >= 0.5
+    assert sig[np.isclose(r, 10.8, atol=1e-4)].min() >= \
+        sig[np.isclose(r, 2.9, atol=1e-4)].max()
+    assert len(sigma_bank) == len(set(sigma_bank.tolist()))
+    # exactly 512 unique pairs = the 64-byte descriptor width, and they
+    # ARE the shortest pairs (delta_max set pinned to 512)
+    assert short_pairs.shape == (512, 2)
+    assert len({tuple(p) for p in short_pairs.tolist()}) == 512
+    d_short = np.linalg.norm(pts[short_pairs[:, 1]]
+                             - pts[short_pairs[:, 0]], axis=-1)
+    iu = np.triu_indices(60, 1)
+    d_all = np.sort(np.linalg.norm(pts[iu[1]] - pts[iu[0]], axis=-1))
+    assert d_short.max() <= d_all[511] + 1e-6
+    # long pairs contribute +w to one end and -w to the other -> exact
+    # antisymmetry: the weight columns sum to zero
+    np.testing.assert_allclose(orient_w.sum(axis=0), 0.0, atol=1e-6)
+    # deterministic regeneration beyond the lru_cache
+    pts2, sb2, bi2, sp2, ow2 = _brisk_tables.__wrapped__()
+    np.testing.assert_array_equal(pts, pts2)
+    np.testing.assert_array_equal(short_pairs, sp2)
+    np.testing.assert_array_equal(orient_w, ow2)
+
+
+def test_brisk_rotation_invariance(sample_image_dir):
+    """Rotate the image; BRISK's long-pair gradient orientation must steer
+    the ring pattern so descriptors at corresponding points stay close in
+    Hamming distance (mirrors test_brief_rotation_invariance; unrelated
+    512-bit descriptors average ~256)."""
+    from spsvo_tpu.ops.orb import brisk_descriptors
+
+    img = _real_image(sample_image_dir, hw=(200, 400)).astype(np.float32)
+    h, w = img.shape
+    angle = 25.0
+    M = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+    rot = cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR)
+
+    kp = orb_features(jnp.asarray(img / 255.0), k=256, n_levels=1,
+                      fast_threshold=20, descriptor="brisk")
+    xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+    desc = np.asarray(kp.desc)[np.asarray(kp.valid)]
+    assert desc.shape[1] == 512
+    ones = np.concatenate([xy, np.ones((len(xy), 1))], axis=1)
+    xy_rot = ones @ M.T
+    keep = ((xy_rot[:, 0] > 40) & (xy_rot[:, 0] < w - 40)
+            & (xy_rot[:, 1] > 40) & (xy_rot[:, 1] < h - 40))
+    xy_rot, desc = xy_rot[keep], desc[keep]
+    assert len(xy_rot) >= 30
+
+    xy_int = jnp.asarray(np.round(xy_rot), jnp.int32)
+    desc_rot, _, _ = brisk_descriptors(jnp.asarray(rot), xy_int)
+    hamm = np.sum(desc != np.asarray(desc_rot), axis=1)
+    assert np.median(hamm) < 90.0
+    assert np.mean(hamm) < 120.0
+
+
+def test_brisk_matching_quality_on_real_frames(sample_image_dir):
+    """Consecutive real KITTI frames through the BRISK front end: mutual-NN
+    match counts in the same regime as the BRIEF path (the downstream
+    chain needs ~60+ inter-frame matches to solve), with geometrically
+    sane displacements."""
+    img0 = _real_image(sample_image_dir, 0).astype(np.float32) / 255.0
+    img1 = _real_image(sample_image_dir, 1).astype(np.float32) / 255.0
+    kp0 = orb_features(jnp.asarray(img0), k=512, descriptor="brisk")
+    kp1 = orb_features(jnp.asarray(img1), k=512, descriptor="brisk")
+    res = matching.match_descriptors(kp0.desc, kp0.valid, kp1.desc,
+                                     kp1.valid, binary=True)
+    idx = np.asarray(res.idx)
+    n = int((idx >= 0).sum())
+    assert n >= 100
+    m = idx >= 0
+    disp = np.linalg.norm(np.asarray(kp1.xy)[idx[m]]
+                          - np.asarray(kp0.xy)[m], axis=1)
+    assert np.median(disp) < 60.0
+
+
+def test_run_sweep_brisk_row(rng, tmp_path):
+    """The classic grid's BRISK row (classic_sweep_configs: device
+    ring-pattern front end standing in for cv2.BRISK) runs through
+    run_sweep end to end and its config string carries the device tag."""
+    import dataclasses
+
+    from spsvo_tpu.config import DescriptorType, classic_sweep_configs
+    from spsvo_tpu.eval import harness
+    from spsvo_tpu.eval.synthetic import synthetic_drive
+
+    frames, poses, P_l, P_r = synthetic_drive(rng, n_frames=6)
+    cfg = [c for c in classic_sweep_configs()
+           if c.descriptor_type == DescriptorType.BRISK][0]
+    assert cfg.device_classic  # the cv2-5.0-dropped row runs on device
+    cfg = dataclasses.replace(cfg, image_height=120, image_width=392,
+                              max_keypoints=256, ransac_iterations=64,
+                              solve_slots=128, orb_n_levels=2,
+                              orb_edge_threshold=16)
+    rows = harness.run_sweep(lambda: list(frames), P_l, P_r, configs=[cfg],
+                             out_json=str(tmp_path / "sweep.json"),
+                             gt_poses=list(poses), max_frames=6)
+    assert len(rows) == 1 and "error" not in rows[0], rows
+    assert rows[0]["config"].startswith("orbtpu_BRISK_BRISK")
+    assert rows[0]["fps"] > 0 and "ate_m" in rows[0]
+
+
+def test_gaussian_blur_radius3_matches_gaussian_blur7():
+    """gaussian_blur7 (the ORB descriptor blur) is gaussian_blur(sigma=2,
+    radius=3); the generic-radius path must reproduce it exactly and match
+    a direct NumPy separable reflect-101 convolution."""
+    from spsvo_tpu.ops.orb import gaussian_blur
+
+    r_ = np.random.default_rng(0)
+    img = (r_.random((40, 56)) * 255).astype(np.float32)
+    a = np.asarray(gaussian_blur7(jnp.asarray(img)))
+    b = np.asarray(gaussian_blur(jnp.asarray(img), 2.0, radius=3))
+    np.testing.assert_array_equal(a, b)
+    k = np.exp(-(np.arange(-3, 4) ** 2) / 8.0)
+    k /= k.sum()
+    pad = np.pad(img, 3, mode="reflect")
+    rows = sum(k[i] * pad[i:i + 40, 3:3 + 56] for i in range(7))
+    pad2 = np.pad(rows, ((0, 0), (3, 3)), mode="reflect")
+    ref = sum(k[i] * pad2[:, i:i + 56] for i in range(7))
+    np.testing.assert_allclose(a, ref, rtol=1e-5, atol=1e-3)
+    # default radius rule: ceil(3*sigma), floored at 1, capped at 7
+    assert gaussian_blur(jnp.asarray(img), 0.1).shape == img.shape
+    assert gaussian_blur(jnp.asarray(img), 10.0).shape == img.shape
+
+
+def test_ic_moment_maps_matches_patch_gather(sample_image_dir):
+    """ic_moment_maps vs a direct per-keypoint circular-patch gather
+    (the formulation it replaced): exact on integer-valued images; on
+    /255-normalised floats fp32 reassociation leaves ~1e-6 relative
+    differences (the docstring's stated tolerance — ADVICE r4)."""
+    from spsvo_tpu.ops.orb import HALF_PATCH, _ic_masks, ic_moment_maps
+
+    img = _real_image(sample_image_dir, hw=(120, 200)).astype(np.float32)
+    mask, xm, ym = _ic_masks()
+    hp = HALF_PATCH
+
+    def gather_ref(a):
+        p = np.pad(a, hp, mode="edge")
+        out = np.zeros(a.shape + (2,), np.float64)
+        for y in range(a.shape[0]):
+            for x in range(a.shape[1]):
+                patch = p[y:y + 2 * hp + 1, x:x + 2 * hp + 1]
+                out[y, x, 0] = float((patch * xm).sum())
+                out[y, x, 1] = float((patch * ym).sum())
+        return out
+
+    maps_int = np.asarray(ic_moment_maps(jnp.asarray(img)))
+    ref = gather_ref(img)
+    np.testing.assert_array_equal(maps_int, ref.astype(np.float32))
+    # normalised floats: tolerance, not bit-exactness
+    maps_n = np.asarray(ic_moment_maps(jnp.asarray(img / 255.0)))
+    ref_n = gather_ref(img / 255.0)
+    np.testing.assert_allclose(maps_n, ref_n, rtol=2e-5, atol=5e-3)
