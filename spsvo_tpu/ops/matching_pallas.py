@@ -36,12 +36,14 @@ def _match_kernel(d0_ref, v0_ref, d1_ref, v1_ref, idx_ref, dist_ref):
     k0 = d0.shape[0]
     k1 = d1.shape[0]
 
-    dots = jnp.dot(d0, d1.T, preferred_element_type=jnp.float32)  # MXU
-    # norms in fp32 regardless of input dtype (bf16 inputs: the dot rides
-    # the MXU's bf16 path with fp32 accumulation; elementwise squares are
-    # upcast so the tiny K-vector norms don't lose mantissa)
+    # bf16 inputs (cfg.matcher_bf16) are upcast AFTER the VMEM load: the
+    # HBM/VMEM feed traffic is halved (the flag's purpose) while the MXU
+    # dot runs in fp32 — Mosaic rejects a bf16 lhs in this transposed
+    # matmul form ("Bad lhs type", measured on v5e round 5), and the
+    # matcher matmul is a negligible share of frame time anyway
     d0f = d0.astype(jnp.float32)
     d1f = d1.astype(jnp.float32)
+    dots = jnp.dot(d0f, d1f.T, preferred_element_type=jnp.float32)  # MXU
     n0 = jnp.sum(d0f * d0f, axis=1, keepdims=True)                # (K0, 1)
     n1 = jnp.sum(d1f * d1f, axis=1, keepdims=True)                # (K1, 1)
     dist = jnp.maximum(n0 + n1.T - 2.0 * dots, 0.0)

@@ -280,8 +280,13 @@ def test_online_hybrid_sharded_matches_unsharded(rng):
     args = (params, jnp.asarray(imgs), jnp.asarray(P_l2, jnp.float32),
             jnp.asarray(P_r2, jnp.float32), jax.random.PRNGKey(0))
     w_plain, _ = build_online_hybrid(apply_fn, cfg)(*args)
-    w_shard, diag = build_online_hybrid(apply_fn, cfg, mesh=make_mesh())(*args)
-    np.testing.assert_array_equal(np.asarray(w_shard), np.asarray(w_plain))
+    # n = {2, 4, 8}: EVERY mesh size reproduces the unsharded trajectory
+    # bit for bit (the docs/SCALING.md equality table, VERDICT r4 item 5)
+    for n in (2, 4, 8):
+        w_shard, diag = build_online_hybrid(
+            apply_fn, cfg, mesh=make_mesh(n))(*args)
+        np.testing.assert_array_equal(np.asarray(w_shard),
+                                      np.asarray(w_plain), err_msg=f"n={n}")
     gt = np.array([T[:3, 3] for T in poses])
     assert np.abs(np.asarray(w_shard)[:, :3, 3] - gt).max() < 0.25
 

@@ -81,9 +81,10 @@ def analyze(prefix: str) -> dict:
     }
 
 
-def analyze_device_classic(detector: str) -> dict:
-    """Same cost model on the device-classic front end (ops/orb.py): one
-    stereo pair through FAST/GFTT + orientation + steered BRIEF."""
+def analyze_device_classic(detector: str, descriptor: str = "brief") -> dict:
+    """Same cost model on the device-classic front ends: one stereo pair
+    through FAST/GFTT/AKAZE detection + BRIEF/BRISK/M-LDB description
+    (ops/orb.py, ops/akaze.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -91,13 +92,15 @@ def analyze_device_classic(detector: str) -> dict:
 
     x = jnp.zeros((BATCH, H, W), jnp.float32)
     fn = jax.jit(lambda x: orb_frontend_batch(
-        x, k=512, border=16, detector=detector,
+        x, k=512, border=16, detector=detector, descriptor=descriptor,
         n_levels=8 if detector == "orb" else 1))
     cost = fn.lower(x).compile().cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
+    name = detector if descriptor in ("brief", "mldb") else \
+        f"{detector}_{descriptor}"
     return {
-        "prefix": f"device_{detector}",
+        "prefix": f"device_{name}",
         "params": 0,
         "gflops_per_frame": float(cost.get("flops", 0.0)) / 1e9,
         "hbm_mb_per_frame": float(cost.get("bytes accessed", 0.0)) / 2**20,
@@ -115,12 +118,13 @@ def main() -> None:
             print(rows[-1], flush=True)
         except Exception as e:  # record and continue
             print(f"{prefix} FAILED: {e}", file=sys.stderr)
-    for det in ("orb", "shi_tomasi"):
+    for det, desc in (("orb", "brief"), ("shi_tomasi", "brief"),
+                      ("orb", "brisk"), ("akaze", "mldb")):
         try:
-            rows.append(analyze_device_classic(det))
+            rows.append(analyze_device_classic(det, desc))
             print(rows[-1], flush=True)
         except Exception as e:
-            print(f"device_{det} FAILED: {e}", file=sys.stderr)
+            print(f"device_{det}/{desc} FAILED: {e}", file=sys.stderr)
 
     # reference Table 2 energy (J/inference on Jetson Nano), for side-by-side
     ref_energy = {"sp_mbv1": 0.595, "sp_mbv2": 0.798, "sp_squeeze": 0.413,

@@ -128,9 +128,20 @@ def main():
             for name, (cfg, af, params) in settings.items():
                 for ki in range(args.keys):
                     t0 = time.time()
-                    world, diag = fns[name](params, images, Pl, Pr,
-                                            jax.random.PRNGKey(ki))
-                    world = np.asarray(world)
+                    try:
+                        world, diag = fns[name](params, images, Pl, Pr,
+                                                jax.random.PRNGKey(ki))
+                        world = np.asarray(world)
+                    except Exception as e:  # record, keep the grid going
+                        msg = str(e).splitlines()[0][:300]
+                        results.setdefault(name, []).append({
+                            "scene": scene, "drive": seed, "setting": name,
+                            "key": ki, "error": msg})
+                        print(f"{scene} d{seed} {name} k{ki}: ERROR {msg}",
+                              flush=True)
+                        out_doc["rows"] = results
+                        save()
+                        break  # same failure for every key of this setting
                     acc = score_trajectory(
                         [world[i] for i in range(len(world))],
                         [gt[i] for i in range(len(gt))])
@@ -155,6 +166,10 @@ def main():
                 save()
 
     for name, rows in results.items():
+        rows = [r for r in rows if "drift_pct" in r]
+        if not rows:
+            out_doc["summary"][name] = {"error": "all runs failed"}
+            continue
         s = {"mean_drift_pct": round(float(np.mean(
                 [r["drift_pct"] for r in rows])), 3),
              "median_drift_pct": round(float(np.median(
@@ -177,11 +192,14 @@ def main():
         bPl = jnp.asarray(bP_l, jnp.float32)
         bPr = jnp.asarray(bP_r, jnp.float32)
         for name, (cfg, af, params) in settings.items():
-            fps, _, _ = bench._measure_pipelined(
-                fns[name], (params, bi, bPl, bPr, jax.random.PRNGKey(0)),
-                bench.N_FRAMES)
-            out_doc["fps"][name] = round(fps, 1)
-            print(f"fps {name}: {fps:.1f}", flush=True)
+            try:
+                fps, _, _ = bench._measure_pipelined(
+                    fns[name], (params, bi, bPl, bPr,
+                                jax.random.PRNGKey(0)), bench.N_FRAMES)
+                out_doc["fps"][name] = round(fps, 1)
+                print(f"fps {name}: {fps:.1f}", flush=True)
+            except Exception as e:
+                out_doc["fps"][name] = f"error: {str(e).splitlines()[0][:200]}"
             save()
 
     print("\n| setting | mean drift % | median | max | mean ATE m | FPS |")

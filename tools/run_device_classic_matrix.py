@@ -88,12 +88,38 @@ def _score(world, gt):
                             [gt[i] for i in range(n)])
 
 
+def load_sample_workload(n_frames: int):
+    """The reference's 22 bundled KITTI frames looped to n_frames with
+    np.roll disparity (bench._load_sample_frames's raw twin) — the
+    round-3 host-fused measurement basis, kept measurable so the
+    texture-dependence of host cv2 detect cost is pinned by one command
+    (the corridor's blob texture floods FAST with ~6x more candidates
+    than real road imagery; BENCH_NOTES round-5)."""
+    import cv2
+    img_dir = "/root/reference/src/odml_visual_odometry/sample_images"
+    files = sorted(os.listdir(img_dir))
+    raw = [cv2.imread(os.path.join(img_dir, f), cv2.IMREAD_GRAYSCALE)
+           for f in files]
+    P_l = np.array([[718.856, 0, 607.1928, 0.0],
+                    [0, 718.856, 185.2157, 0.0],
+                    [0, 0, 1.0, 0.0]], np.float64)
+    P_r = P_l.copy(); P_r[0, 3] = -386.1448
+    frames = [(raw[i % len(raw)], np.roll(raw[i % len(raw)], -6, axis=1))
+              for i in range(n_frames)]
+    return frames, None, P_l, P_r
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--rows", default="",
                     help="comma list of row keys to (re)measure; default all."
                          " Merges into an existing --out file.")
+    ap.add_argument("--workload", default="corridor",
+                    choices=("corridor", "samples"),
+                    help="'samples' = the 22 reference KITTI frames looped "
+                         "(no ground truth: FPS-only rows, suffixed "
+                         "'@samples') — the round-3 host-fused basis")
     ap.add_argument("--out", default="docs/device_classic_matrix.json")
     args = ap.parse_args()
 
@@ -107,7 +133,12 @@ def main():
     from spsvo_tpu.parallel.sharding import build_orb_hybrid
 
     n_frames = args.frames
-    frames_raw, gt, P_l, P_r = load_raw_drive(n_frames)
+    if args.workload == "samples":
+        frames_raw, gt, P_l, P_r = load_sample_workload(n_frames)
+        suffix = "@samples"
+    else:
+        frames_raw, gt, P_l, P_r = load_raw_drive(n_frames)
+        suffix = ""
     key = jax.random.PRNGKey(0)
 
     base = VOConfig(model_name_prefix="sp_mbv1", image_height=120,
@@ -163,7 +194,7 @@ def main():
         border = 31 if h > 200 else 16
         imgs = pl = pr = None
         for name, (det, desc) in device_variants.items():
-            rk = f"{name}_{h}x{w}"
+            rk = f"{name}_{h}x{w}{suffix}"
             if not wanted(rk):
                 continue
             if imgs is None:
@@ -177,19 +208,21 @@ def main():
                 image_height=h, image_width=w, orb_edge_threshold=border)
             fps, diags, world = bench._measure_pipelined(
                 build_orb_hybrid(cfg), (None, imgs, pl, pr, key), n_frames)
-            acc = _score(world, gt)
             rows[rk] = {
                 "fps": round(fps, 1),
-                "drift_pct": round(acc["final_drift_percent"], 2),
-                "ate_m": round(acc["ate_m"], 3),
                 "inliers": round(float(np.asarray(
                     diags["num_inliers"]).mean()), 1),
                 "mode": "orb (device-resident, zero per-frame host work)",
             }
+            if gt is not None:
+                acc = _score(world, gt)
+                rows[rk].update(
+                    drift_pct=round(acc["final_drift_percent"], 2),
+                    ate_m=round(acc["ate_m"], 3))
             print(f"{rk}: {json.dumps(rows[rk])}", flush=True)
             save()
         for name, (det, desc) in host_variants.items():
-            rk = f"{name}_{h}x{w}"
+            rk = f"{name}_{h}x{w}{suffix}"
             if not wanted(rk):
                 continue
             cfg = dataclasses.replace(
@@ -198,12 +231,9 @@ def main():
                 image_height=h, image_width=w)
             res = harness.run_sequence_fused(
                 cfg, frames_raw, P_l, P_r, mode="classic", timing_reps=4)
-            acc = _score(np.stack(res.poses), gt)
             d = res.diagnostics
             rows[rk] = {
                 "fps": round(res.fps, 1),
-                "drift_pct": round(acc["final_drift_percent"], 2),
-                "ate_m": round(acc["ate_m"], 3),
                 "inliers": round(float(np.mean(
                     [r["num_inliers"] for r in d])), 1) if d else None,
                 "detect_ms_per_frame": round(
@@ -212,6 +242,11 @@ def main():
                 "mode": "classic (threaded host cv2 detect + fused device "
                         "geometry)",
             }
+            if gt is not None:
+                acc = _score(np.stack(res.poses), gt)
+                rows[rk].update(
+                    drift_pct=round(acc["final_drift_percent"], 2),
+                    ate_m=round(acc["ate_m"], 3))
             print(f"{rk}: {json.dumps(rows[rk])}", flush=True)
             save()
 
