@@ -8,14 +8,18 @@ Baseline: the reference's best end-to-end throughput — SuperPoint @ 120x392
 on an RTX 2070 laptop, ~66.3 FPS (BASELINE.md; src/odml_visual_odometry/
 README.md:46). North-star target: 500 FPS on one v5e chip.
 
-Measured quantity (headline): the ONLINE-semantics hybrid mode
-(`parallel.build_online_hybrid` with the fused Pallas solver) over 128
-REAL-GEOMETRY stereo frames at 120x392 in fp32 — the full per-frame pipeline
-(CNN forward, detector postprocess, descriptor sampling, 3x matching, chain
-filter, triangulation x2, 256-hypothesis RANSAC + polish, LM refinement,
-exact sequential gate/prior semantics, pose chaining). This is
-simultaneously the most reference-faithful mode and the fastest fp32 mode
-(BENCH_NOTES.md).
+Measured quantity (headline): the FLAGSHIP composed mode
+(`presets.flagship_tpu`: bf16 CNN trunk + landmark fusion + bf16 matcher,
+ONLINE semantics via `parallel.build_online_hybrid` with the fused Pallas
+solver) over 128 REAL-GEOMETRY stereo frames at 120x392 — the full
+per-frame pipeline (CNN forward, detector postprocess, descriptor
+sampling, 3x matching, chain filter, triangulation x2, 256-hypothesis
+RANSAC + polish, LM refinement, landmark fuse/carry, exact sequential
+gate/prior semantics, pose chaining). The composition was selected by the
+round-5 cross-scene matrix (docs/accuracy_matrix.json): 1.49x the fp32
+non-landmark mode's speed AND more accurate on every statistic (mean
+drift 2.14% vs 3.05%, ATE 0.301 m vs 0.411 m). The fp32 non-landmark
+hybrid — the old headline — stays measured as the first aux row.
 
 Workload (VERDICT r2 weak #1): a 128-frame curved drive through
 `eval.synthetic.synthetic_corridor` — ray-cast TRUE stereo with depth
@@ -178,7 +182,7 @@ def _measure_pipelined(fn, args, n_frames, depth=4, reps=3):
     return n_frames / best, diags, world
 
 
-def _probe_tpu(timeout_s: float = 240.0) -> None:
+def _probe_tpu(timeout_s: float = 0.0) -> None:
     """Fail fast if the axon tunnel is down.
 
     When the tunnel drops, `import jax` HANGS at backend init (observed
@@ -189,8 +193,13 @@ def _probe_tpu(timeout_s: float = 240.0) -> None:
     spsvo_tpu first so it reuses the persistent XLA cache (the cache dir is
     configured on package import, not by the environment) — without it
     every probe would pay a fresh multi-minute axon compile and a healthy
-    tunnel could read as down."""
+    tunnel could read as down. In a fresh container the cache is EMPTY, so
+    the probe pays the full cold axon compile — observed 19 min on a slow
+    2026-08-21 window — hence the generous default; override with
+    SPSVO_PROBE_TIMEOUT_S."""
     import subprocess
+    if not timeout_s:
+        timeout_s = float(os.environ.get("SPSVO_PROBE_TIMEOUT_S", "1500"))
     repo = os.path.dirname(os.path.abspath(__file__))
     code = (f"import sys; sys.path.insert(0, {repo!r});"
             "import spsvo_tpu;"
@@ -243,16 +252,21 @@ def main():
     P_l_j = jnp.asarray(P_l2, jnp.float32)
     P_r_j = jnp.asarray(P_r2, jnp.float32)
 
-    # ---- headline: ONLINE semantics (prior-seeded RANSAC + gates), fp32 ---
-    # The hybrid online mode with the fused Pallas solver is both the most
-    # reference-faithful mode (exact online gate/prior semantics) AND the
-    # fastest fp32 mode — so it IS the headline.
+    # ---- headline: the FLAGSHIP composed mode (presets.flagship_tpu) ------
+    # bf16 CNN trunk + landmark fusion + bf16 matcher, ONLINE semantics,
+    # fused Pallas solver — selected by the round-5 cross-scene matrix
+    # (docs/accuracy_matrix.json): faster than the fp32 non-landmark mode
+    # AND more accurate on every statistic.
     apply_fn, params = zoo.load_model(cfg.model_name_prefix)
+    apply16, params16 = zoo.load_model(cfg.model_name_prefix, jnp.bfloat16)
+    cfg_flag = dataclasses.replace(cfg_seq, precision=Precision.BF16,
+                                   landmark_fusion=True, matcher_bf16=True)
     t0 = time.perf_counter()
-    hyb_fn = build_online_hybrid(apply_fn, cfg_seq)
-    args_h = (params, images, P_l_j, P_r_j, key)
-    fps, diags, world_h = _measure_pipelined(hyb_fn, args_h, N_FRAMES)
-    log(f"ONLINE-hybrid fp32 (sustained, headline): {fps:.1f} FPS "
+    flag_fn = build_online_hybrid(apply16, cfg_flag)
+    args_f = (params16, images, P_l_j, P_r_j, key)
+    fps, diags, world_h = _measure_pipelined(flag_fn, args_f, N_FRAMES)
+    log(f"FLAGSHIP online-hybrid bf16+landmark+mbf16 (sustained, headline): "
+        f"{fps:.1f} FPS "
         f"(compile+reps {time.perf_counter()-t0:.0f}s, "
         f"mean inliers {np.asarray(diags['num_inliers']).mean():.0f})")
     # behavioral stats on the real-geometry workload (VERDICT r2 weak #1)
@@ -269,9 +283,23 @@ def main():
                if pw_pct is not None else ""))
     except Exception as e:
         log(f"corridor accuracy aux failed: {e}")
-    fps_1call, _, _ = _measure(hyb_fn, args_h, N_FRAMES, reps=3)
-    log(f"online-hybrid fp32 (single call incl. tunnel RTT): "
+    fps_1call, _, _ = _measure(flag_fn, args_f, N_FRAMES, reps=3)
+    log(f"flagship online-hybrid (single call incl. tunnel RTT): "
         f"{fps_1call:.1f} FPS")
+
+    # ---- aux: fp32 non-landmark online-hybrid (the pre-round-5 headline) --
+    args_h = (params, images, P_l_j, P_r_j, key)
+    try:
+        t0 = time.perf_counter()
+        hyb_fn = build_online_hybrid(apply_fn, cfg_seq)
+        fps_f32, diags_f32, w_f32 = _measure_pipelined(hyb_fn, args_h,
+                                                       N_FRAMES)
+        log(f"online-hybrid fp32 (sustained): {fps_f32:.1f} FPS "
+            f"(compile+reps {time.perf_counter()-t0:.0f}s, "
+            f"mean inliers {np.asarray(diags_f32['num_inliers']).mean():.0f})"
+            f" " + _drift_str(w_f32, gt_poses))
+    except Exception as e:
+        log(f"fp32 hybrid aux run failed: {e}")
 
     # ---- aux: legacy sample-image workload (constant-disparity stereo) ----
     try:
@@ -335,7 +363,6 @@ def main():
     # ---- aux: bf16 trunk (the reference's FP16-engine counterpart) -------
     try:
         cfg16 = dataclasses.replace(cfg, precision=Precision.BF16)
-        apply16, params16 = zoo.load_model(cfg.model_name_prefix, jnp.bfloat16)
         b16 = build_batch_vo(apply16, cfg16, mesh)
         fps16, _, _ = _measure_pipelined(
             b16, (params16, images, P_l_j, P_r_j, key), N_FRAMES)

@@ -186,10 +186,12 @@ class VOConfig:
     matcher_bf16: bool = False        # descriptor distance matmul in bf16
     # (fp32 accumulation): halves the post-trunk descriptor HBM traffic
     # that EFFICIENCY.md charges for the bf16/int8 end-to-end shortfall.
-    # Descriptors are L2-normalised so NN ranking is robust; accuracy cost
-    # measured by tools/run_accuracy_matrix.py (the fp32_mbf16 setting of
-    # docs/accuracy_matrix.json); selection-agreement vs fp32 pinned by
-    # tests/test_matching.py::test_matcher_bf16_selection_agreement.
+    # Descriptors are L2-normalised so NN ranking is robust; measured
+    # accuracy-neutral on both scene families (docs/accuracy_matrix.json
+    # fp32_mbf16 vs fp32: 3.03% vs 3.05% mean drift, +0.5% FPS) and
+    # therefore DEFAULT-ON in presets.flagship_tpu; selection-agreement vs
+    # fp32 pinned by tests/test_matching.py::
+    # test_matcher_bf16_selection_agreement.
     # Float descriptors only (binary Hamming stays exact integer fp32).
     use_pallas_solver: bool = False   # fused whole-solver Pallas kernel for
     # the hybrid online scan (score+winner+refit+polish+LM+gates in ONE

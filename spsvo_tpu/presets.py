@@ -53,13 +53,34 @@ def superpoint_jetson() -> VOConfig:
 
 def flagship_tpu() -> VOConfig:
     """This framework's flagship: sp_mbv1 @ 120x392 (imported weights),
-    batch-2 stereo — the configuration bench.py measures."""
+    batch-2 stereo, bf16 trunk + landmark fusion + bf16 matcher — the
+    configuration bench.py measures.
+
+    The composition was decided by the round-5 cross-scene matrix
+    (docs/accuracy_matrix.json, 2 scene families x 3 drives x 3 keys):
+    bf16_lm_mbf16 reads 2075 FPS at mean drift 2.14% / median 1.42% /
+    mean ATE 0.301 m vs the old fp32 non-landmark headline's 1391 FPS at
+    3.05% / 1.98% / 0.411 m — 1.49x faster AND more accurate on every
+    statistic. vs fp32+landmark (1347 FPS, mean 1.96%) the bf16 trunk
+    costs ~0.2pp mean drift (within key-to-key noise; median and ATE are
+    better) for 1.54x speed."""
     return VOConfig(
         model_name_prefix="sp_mbv1",
         model_batch_size=2,
         image_height=120, image_width=392,
         max_keypoints=512,
         ransac_iterations=256,
+        # bf16 CNN trunk: the fp32 trunk is HBM-bandwidth-bound
+        # (docs/EFFICIENCY.md), so precision IS the speed lever; geometry
+        # solve stays fp32 in all trunk precisions
+        precision=Precision.BF16,
+        # carried fused landmarks replace per-frame re-triangulation —
+        # the best accuracy mode on BOTH scene families (accuracy_matrix
+        # landmark vs fp32: 1.96% vs 3.05% mean drift)
+        landmark_fusion=True,
+        # bf16 descriptor matmuls (fp32 accumulation): accuracy-neutral on
+        # both families (3.03% vs 3.05% mean drift), ~+0.5% FPS
+        matcher_bf16=True,
         # sequential-path tuning (accuracy pinned on synthetic drives,
         # tests/test_parallel.py::test_online_hybrid_tuned_config_accuracy):
         # one exhaustive RANSAC batch, 6 unrolled LM iterations, chain
