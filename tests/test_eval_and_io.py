@@ -112,6 +112,23 @@ def test_presets_cover_launch_matrix():
     assert presets.main_config(is_jetson=True).precision == Precision.BF16
 
 
+def test_flagship_preset_is_the_measured_composition():
+    """The flagship composition was decided by the round-5 cross-scene
+    matrix (docs/accuracy_matrix.json: bf16_lm_mbf16 = 2075 FPS at
+    better-than-fp32 accuracy on every statistic). Pin it so the preset,
+    __graft_entry__.entry() and the bench headline can't silently drift
+    apart from the measured decision."""
+    f = presets.flagship_tpu()
+    assert f.precision == Precision.BF16          # bf16 CNN trunk
+    assert f.landmark_fusion                      # carried fused landmarks
+    assert f.matcher_bf16                         # bf16 descriptor matmuls
+    # the fused-Pallas-solver-eligible sequential tuning
+    assert (f.ransac_chunk, f.lm_unroll, f.solve_slots) == (0, 6, 128)
+    assert f.use_pallas_matcher and f.use_pallas_solver
+    assert (f.model_name_prefix, f.model_batch_size,
+            f.image_height, f.image_width) == ("sp_mbv1", 2, 120, 392)
+
+
 def test_sweep_grid_size():
     cfgs = sweep_configs()
     assert len(cfgs) == 72  # 6 backbones x 2 batch x 3 res x 2 precision
