@@ -377,9 +377,15 @@ def main():
         log(f"bf16 aux run failed: {e}")
 
     # ---- aux: int8 trunk with static calibrated activation scales ---------
+    # calibration frames are spread across the drive (every 8th of 128).
+    # NOTE (round 5): int8 end-to-end drift is chaotically sensitive to
+    # the exact scale values — a 0.5% nudge of ONE activation scale moves
+    # a drive's drift 6.8% -> 2.1% (BENCH_NOTES round-5 int8 section) —
+    # so the int8 FPS row is robust but its drift column is a sample from
+    # a heavy-tailed distribution, which is why bf16 is the flagship trunk.
     try:
-        calib = frames[:8].reshape(-1, cfg.image_height,
-                                   cfg.image_width)[..., None]
+        calib = frames[::8][:16].reshape(-1, cfg.image_height,
+                                         cfg.image_width)[..., None]
         apply8, params8 = zoo.load_model(cfg.model_name_prefix, int8=True,
                                          int8_calibration=calib)
         cfg8 = dataclasses.replace(cfg, precision=Precision.INT8)

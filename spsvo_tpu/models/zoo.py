@@ -254,7 +254,14 @@ def load_model(prefix: str, compute_dtype=jnp.float32, seed: int = 0,
     calibrated scales at that |x| percentile (None = absmax): measured over
     three corridor drives (BENCH_NOTES.md), absmax calibration averages
     5.4% drift vs fp32's 2.6% while 99.9-percentile clipping averages
-    2.5% — accuracy on par with fp32/bf16 at int8 speed.
+    2.5% — accuracy on par with fp32/bf16 at int8 speed on most drives.
+    Caveat (round-5 finding, BENCH_NOTES): end-to-end VO drift under the
+    int8 trunk is chaotically sensitive to the exact calibrated scale
+    values — near-identical calibrations (scales within 1%) produced
+    0.27% and 6.84% drift on the same drive, and nudging ONE scale by
+    0.5% moved it 6.8% -> 2.1%. The mean over drives is fp32-class, but
+    the distribution has a catastrophic tail that no calibration recipe
+    tested removes; prefer the bf16 trunk where accuracy matters.
     """
     if prefix in BUNDLED_ONNX:
         d = models_dir or REFERENCE_MODELS_DIR

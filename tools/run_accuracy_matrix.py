@@ -72,12 +72,18 @@ def main():
                     use_pallas_solver=True)
     apply32, params32 = zoo.load_model(base.model_name_prefix)
     apply16, params16 = zoo.load_model(base.model_name_prefix, jnp.bfloat16)
-    # int8 calibration: first 8 frames of the corridor drive for seed 42
-    # (the bench drive's regime — stated in the config block)
-    cal_frames, _, _, _ = load_drive(DRIVE_SEEDS[0], 8, base,
+    # int8 calibration: 16 frames spread across the seed-42 corridor drive
+    # (every 6th of 96). NOTE: the calibration recipe barely moves the
+    # scales (first-8 vs spread-16 vs L-only agree within 1%), yet int8
+    # end-to-end drift is chaotically sensitive to those last-percent
+    # differences (0.27% vs 6.84% on the same drive; one scale nudged
+    # 0.5% moves drift 6.8 -> 2.1 — BENCH_NOTES round-5 int8 section).
+    # The int8 rows are therefore samples from a heavy-tailed
+    # distribution; read the summary's max/median, not single rows.
+    cal_frames, _, _, _ = load_drive(DRIVE_SEEDS[0], 96, base,
                                      scene="corridor")
-    calib = cal_frames.reshape(-1, base.image_height,
-                               base.image_width)[..., None]
+    calib = cal_frames[::6][:16].reshape(-1, base.image_height,
+                                         base.image_width)[..., None]
     apply8, params8 = zoo.load_model(base.model_name_prefix, int8=True,
                                      int8_calibration=calib)
 
@@ -102,6 +108,17 @@ def main():
             base, precision=Precision.BF16, landmark_fusion=True,
             matcher_bf16=True),
             apply16, params16),
+        # int8 compositions with the spread calibration — measured after
+        # the round-5 finding that the int8 drift tail was a
+        # calibration-coverage artifact, to see whether the fastest trunk
+        # can also be accuracy-par end to end
+        "int8_landmark": (dataclasses.replace(
+            base, precision=Precision.INT8, landmark_fusion=True),
+            apply8, params8),
+        "int8_lm_mbf16": (dataclasses.replace(
+            base, precision=Precision.INT8, landmark_fusion=True,
+            matcher_bf16=True),
+            apply8, params8),
     }
     if args.settings:
         keep = {s.strip() for s in args.settings.split(",")}
@@ -115,9 +132,9 @@ def main():
         "scenes": scenes,
         "resolution": f"{base.image_height}x{base.image_width}",
         "model": base.model_name_prefix,
-        "int8_calibration": "first 8 frames of corridor drive seed "
-                            f"{DRIVE_SEEDS[0]} (percentile clipping, "
-                            "models/zoo.py)",
+        "int8_calibration": "16 frames spread across corridor drive seed "
+                            f"{DRIVE_SEEDS[0]} (every 6th of 96; 99.9-"
+                            "percentile clipping, models/zoo.py)",
         "fps_basis": "bench drive (128-frame corridor seed 42), "
                      "bench._measure_pipelined depth=4 best-of-3",
         "generator": "tools/run_accuracy_matrix.py",
