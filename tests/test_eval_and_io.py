@@ -135,6 +135,20 @@ def test_sweep_grid_size():
     assert len({c.config_string for c in cfgs}) == 72
 
 
+def test_full_sweep_grid_is_82_rows():
+    """The committed docs/sweep_results.json artifact is the full grid:
+    72 NN + 6 classic (4 host cv2 + device BRISK/AKAZE) + 4 device-classic
+    extras — 82 unique config strings (run by tools/run_sweep_tpu.py)."""
+    from spsvo_tpu.config import (classic_sweep_configs,
+                                  device_classic_sweep_configs)
+    cfgs = (sweep_configs() + classic_sweep_configs()
+            + device_classic_sweep_configs())
+    names = [c.config_string for c in cfgs]
+    assert len(names) == 82 and len(set(names)) == 82
+    # the device-substituted classic rows carry the orbtpu basis tag
+    assert sum(n.startswith("orbtpu_") for n in names) == 6
+
+
 def test_runtime_guards():
     g = RuntimeGuards(latency_budget_ms=125.0)
     assert g.check_latency(50.0)
